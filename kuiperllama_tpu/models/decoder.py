@@ -1,0 +1,131 @@
+"""Pure-functional Llama-family decoder forward pass.
+
+One parametric decoder serves Llama-2 / TinyLlama / Llama-3.x / Qwen2.5 —
+the reference's two ~820-line model classes (kuiper/source/model/llama3.cpp,
+qwen2.cpp) differ only in RoPE theta/pairing, rmsnorm eps, qkv bias and
+tokenizer, all of which are runtime data in ModelConfig here.
+
+TPU-first structure:
+  * per-layer weights stacked on a leading L axis, `lax.scan` over layers —
+    the layer body is compiled once, not L times;
+  * one forward covers prefill (T = prompt len) and batched decode (T = 1);
+    the reference instead re-runs its single-token path per prompt token
+    (demo/main.cpp:18-41), which we deliberately do not copy;
+  * static shapes everywhere: cache size, batch and T are compile-time; the
+    only dynamic data are token ids and positions;
+  * fp32 softmax/norm accumulation, bf16 (configurable) activations.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import ModelConfig
+from ..ops.attention import attention_dense
+from ..ops.linear import linear
+from ..ops.rmsnorm import rmsnorm
+from ..ops.rope import apply_rope, gather_rope, rope_cache
+
+
+def init_kv_cache(cfg: ModelConfig, batch: int, max_len: Optional[int] = None,
+                  dtype=jnp.float32):
+    """Dense KV cache [L, B, S, KH, hd] (reference: one [L, S, kv_dim] fp32
+    block, llama3.cpp:469-475 — ours adds the batch dim)."""
+    S = max_len or cfg.seq_len
+    shape = (cfg.n_layers, batch, S, cfg.n_kv_heads, cfg.head_dim)
+    return dict(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def build_rope(cfg: ModelConfig):
+    return rope_cache(cfg.seq_len, cfg.head_dim, cfg.rope_theta)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def forward(cfg: ModelConfig, params, tokens, positions, kv_cache,
+            kv_len_mask=None):
+    """Forward pass over [B, T] tokens.
+
+    tokens:    int32 [B, T]
+    positions: int32 [B, T] absolute positions (cache slot == position)
+    kv_cache:  dict(k, v) [L, B, S, KH, hd]; updated functionally.
+    kv_len_mask: optional [B, S] bool of valid slots for ragged batches.
+
+    Returns (logits fp32 [B, T, vocab], new_kv_cache).
+    """
+    B, T = tokens.shape
+    H, KH, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    x = params["tok_emb"][tokens]  # [B, T, dim] in weight dtype
+    sin, cos = build_rope(cfg)
+    s, c = gather_rope(sin, cos, positions)  # [B, T, 1, hd/2]
+
+    b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
+
+    def layer_body(x, scanned):
+        blk, k_cache, v_cache = scanned
+        h = rmsnorm(x, blk["attn_norm"], cfg.norm_eps)
+        q = linear(h, blk["wq"], blk.get("bq"))
+        k = linear(h, blk["wk"], blk.get("bk"))
+        v = linear(h, blk["wv"], blk.get("bv"))
+        q = q.reshape(B, T, H, hd)
+        k = k.reshape(B, T, KH, hd)
+        v = v.reshape(B, T, KH, hd)
+        q = apply_rope(q, s, c, cfg.rope_style)
+        k = apply_rope(k, s, c, cfg.rope_style)
+
+        # Write new K/V into the cache at their positions (the reference
+        # projects straight into cache slices, llama3.cpp:626-632).
+        k_cache = k_cache.at[b_idx, positions].set(k.astype(k_cache.dtype))
+        v_cache = v_cache.at[b_idx, positions].set(v.astype(v_cache.dtype))
+
+        attn = attention_dense(q, k_cache, v_cache, positions, kv_len_mask)
+        x = x + linear(attn.reshape(B, T, H * hd), blk["wo"])
+
+        h = rmsnorm(x, blk["ffn_norm"], cfg.norm_eps)
+        gate = linear(h, blk["w1"])
+        up = linear(h, blk["w3"])
+        act = (gate.astype(jnp.float32) * jax.nn.sigmoid(gate.astype(jnp.float32))
+               ).astype(x.dtype) * up
+        x = x + linear(act, blk["w2"])
+        return x, (k_cache, v_cache)
+
+    x, (new_k, new_v) = lax.scan(
+        layer_body, x, (params["blocks"], kv_cache["k"], kv_cache["v"])
+    )
+    x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    logits = linear(x, params["lm_head"]).astype(jnp.float32)
+    return logits, dict(k=new_k, v=new_v)
+
+
+def prefill(cfg: ModelConfig, params, tokens, kv_cache, prompt_lens=None):
+    """Batched prefill of [B, T] prompts starting at position 0.
+
+    prompt_lens: optional [B] int32 actual lengths (tokens beyond are padding).
+    Returns (last_logits [B, vocab], new_cache): logits at each row's final
+    real token.
+    """
+    B, T = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    if prompt_lens is None:
+        prompt_lens = jnp.full((B,), T, jnp.int32)
+    S = kv_cache["k"].shape[2]
+    slot = jnp.arange(S, dtype=jnp.int32)
+    kv_len_mask = slot[None, :] < prompt_lens[:, None]
+    logits, cache = forward(cfg, params, tokens, positions, kv_cache, kv_len_mask)
+    last = jnp.take_along_axis(
+        logits, (prompt_lens - 1)[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0]
+    return last, cache
+
+
+def decode_step(cfg: ModelConfig, params, token, pos, kv_cache, kv_len_mask=None):
+    """One batched decode step. token: [B] int32, pos: [B] int32."""
+    logits, cache = forward(
+        cfg, params, token[:, None], pos[:, None], kv_cache, kv_len_mask
+    )
+    return logits[:, 0], cache

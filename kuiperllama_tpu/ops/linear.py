@@ -1,0 +1,64 @@
+"""Linear projection with optional group-wise INT8 weights.
+
+The reference's matmul is a single-row GEMV (decode-style) with an optionally
+fused per-group dequant (kuiper/source/op/kernels/cuda/matmul_kernel.cu). On
+TPU the projection is `x @ W` on the MXU; the INT8 path uses the Pallas fused
+dequant+matmul kernel (ops/pallas/quant_matmul.py) when enabled, else an XLA
+expression that scales int8 blocks into the accumulation dtype.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..quant import QuantArray
+
+# Global switch: flipped off in tests to compare against the XLA path.
+_USE_PALLAS = True
+
+
+def set_use_pallas(flag: bool):
+    global _USE_PALLAS
+    _USE_PALLAS = flag
+
+
+def _quant_matmul_xla(x, w: QuantArray):
+    """x: [..., in] @ int8 [in, out] with fp32 group scales [in/g, out].
+
+    Strategy: contract per group in the activation dtype, scale partial sums in
+    fp32. Keeps the int8->MXU path fusable by XLA without materializing the
+    dequantized weight at full [in, out] fp32 (only one [g, out] tile at a time
+    after XLA scheduling; in practice XLA may still materialize — the Pallas
+    kernel is the production path, this is the oracle).
+    """
+    g = w.group_size
+    in_dim, out_dim = w.q.shape[-2], w.q.shape[-1]
+    ng = in_dim // g
+    lead = x.shape[:-1]
+    xg = x.reshape(*lead, ng, g).astype(jnp.float32)
+    qg = w.q.reshape(ng, g, out_dim).astype(jnp.float32)
+    # partial[..., ng, out] = sum_g xg * qg ; then scale per group and sum.
+    partial = jnp.einsum("...ng,ngo->...no", xg, qg)
+    out = jnp.sum(partial * w.s.astype(jnp.float32), axis=-2)
+    return out.astype(x.dtype)
+
+
+def linear(x, w, bias=None):
+    """x: [..., in]; w: [in, out] array or QuantArray; bias: [out] or None."""
+    if isinstance(w, QuantArray):
+        if _USE_PALLAS and x.ndim >= 2:
+            from .pallas.quant_matmul import quant_matmul
+
+            out = quant_matmul(x, w)
+        else:
+            out = _quant_matmul_xla(x, w)
+    else:
+        out = jax.lax.dot_general(
+            x, w.astype(x.dtype),
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out

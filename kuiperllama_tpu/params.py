@@ -1,0 +1,105 @@
+"""Parameter pytree construction and device placement.
+
+The reference materializes weights as mmap'd views copied tensor-by-tensor to
+the GPU (kuiper/source/model/llama3.cpp:14-100 `to_cuda`). Here the weight set
+is a plain pytree of jax.Arrays — XLA owns device memory — with all per-layer
+tensors stacked along a leading L axis so the decoder can `lax.scan` over
+layers (one compiled layer body instead of L unrolled copies).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ModelConfig
+from .quant import QuantArray
+
+
+def is_quant_leaf(x) -> bool:
+    return isinstance(x, dict) and set(x.keys()) >= {"q", "s", "group_size"}
+
+
+def to_device(params, dtype=jnp.float32, sharding_tree=None):
+    """Move a numpy params pytree onto device.
+
+    Float weights are cast to `dtype` (bf16 for the fast path); norm scales stay
+    fp32 for accumulation accuracy; quant dict leaves become QuantArray (int8 q,
+    fp32 s). `sharding_tree`, when given, must mirror the params structure with
+    NamedSharding leaves (see parallel/shardings.py).
+    """
+
+    def put(x, sh):
+        return jax.device_put(x, sh) if sh is not None else jnp.asarray(x)
+
+    def convert(path, x, sh=None):
+        if is_quant_leaf(x):
+            qsh, ssh = (sh["q"], sh["s"]) if sh is not None else (None, None)
+            return QuantArray(
+                q=put(x["q"], qsh),
+                s=put(np.asarray(x["s"], np.float32), ssh),
+                group_size=int(x["group_size"]),
+            )
+        x = np.asarray(x)
+        if x.dtype in (np.float32, np.float64):
+            target = jnp.float32 if "norm" in path else dtype
+            return put(x.astype(np.float32), sh).astype(target)
+        return put(x, sh)
+
+    out = {}
+    for key, val in params.items():
+        if key == "blocks":
+            out[key] = {
+                k: convert(k, v, None if sharding_tree is None else sharding_tree["blocks"].get(k))
+                for k, v in val.items()
+            }
+        else:
+            out[key] = convert(
+                key, val, None if sharding_tree is None else sharding_tree.get(key)
+            )
+    return out
+
+
+def random_params(
+    cfg: ModelConfig,
+    seed: int = 0,
+    dtype=np.float32,
+    scale: float = 0.02,
+) -> dict:
+    """Random-normal params (numpy, [in, out] orientation) for tests/benches."""
+    rng = np.random.default_rng(seed)
+    L, d, h, kv = cfg.n_layers, cfg.dim, cfg.hidden_dim, cfg.kv_dim
+
+    def mat(*shape):
+        return (rng.standard_normal(shape) * scale).astype(dtype)
+
+    blocks = dict(
+        attn_norm=np.ones((L, d), dtype),
+        ffn_norm=np.ones((L, d), dtype),
+        wq=mat(L, d, d),
+        wk=mat(L, d, kv),
+        wv=mat(L, d, kv),
+        wo=mat(L, d, d),
+        w1=mat(L, d, h),
+        w2=mat(L, h, d),
+        w3=mat(L, d, h),
+    )
+    if cfg.qkv_bias:
+        blocks.update(bq=mat(L, d), bk=mat(L, kv), bv=mat(L, kv))
+    tok_emb = mat(cfg.vocab_size, d)
+    lm_head = (
+        np.ascontiguousarray(tok_emb.T)
+        if cfg.tied_embedding
+        else mat(d, cfg.vocab_size)
+    )
+    return dict(
+        tok_emb=tok_emb, blocks=blocks, final_norm=np.ones((d,), dtype), lm_head=lm_head
+    )
+
+
+def param_bytes(params) -> int:
+    leaves = jax.tree_util.tree_leaves(params)
+    return sum(x.size * x.dtype.itemsize for x in leaves)
