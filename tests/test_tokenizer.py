@@ -1,0 +1,124 @@
+"""Tokenizer tests: synthetic sentencepiece protobuf, llama2.c tokenizer.bin,
+and tokenizer.json byte-level BPE (reference test strategy has no tokenizer
+tests at all; the encode paths are op/encode.cpp — we gate them properly)."""
+
+import struct
+
+import pytest
+
+from kuiperllama_tpu.tokenizer import load_tokenizer
+from kuiperllama_tpu.tokenizer.spm import (
+    Llama2cTokenizer, SentencePieceTokenizer, parse_model_proto,
+)
+
+
+def _varint(n: int) -> bytes:
+    out = b""
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _piece_msg(piece: str, score: float, ptype: int = 1) -> bytes:
+    p = piece.encode("utf-8")
+    body = b"\x0a" + _varint(len(p)) + p  # field 1, wire 2
+    body += b"\x15" + struct.pack("<f", score)  # field 2, wire 5
+    body += b"\x18" + _varint(ptype)  # field 3, wire 0
+    return b"\x0a" + _varint(len(body)) + body  # ModelProto field 1
+
+
+def _build_spm_model() -> bytes:
+    # vocab modeled on llama2: specials, byte fallbacks, chars, merges
+    pieces = [
+        ("<unk>", 0.0, 2), ("<s>", 0.0, 3), ("</s>", 0.0, 3),
+        ("<0x68>", 0.0, 6),  # 'h' byte fallback (unused but exercised)
+        ("▁", -2.0, 1), ("h", -3.0, 1), ("e", -3.1, 1), ("l", -3.2, 1),
+        ("o", -3.3, 1), ("w", -3.4, 1), ("r", -3.5, 1), ("d", -3.6, 1),
+        ("he", -1.0, 1), ("ll", -1.1, 1), ("hell", -0.5, 1), ("hello", -0.1, 1),
+        ("▁hello", -0.05, 1), ("▁w", -1.5, 1), ("or", -1.2, 1), ("ld", -1.3, 1), ("orld", -0.6, 1),
+        ("▁world", -0.06, 1),
+    ]
+    return b"".join(_piece_msg(p, s, t) for p, s, t in pieces)
+
+
+def test_parse_model_proto():
+    pieces, scores, types = parse_model_proto(_build_spm_model())
+    assert pieces[0] == "<unk>" and types[0] == 2
+    assert pieces[16] == "▁hello" and abs(scores[16] + 0.05) < 1e-6
+    assert types[3] == 6
+
+
+def test_spm_encode_decode(tmp_path):
+    path = tmp_path / "tok.model"
+    path.write_bytes(_build_spm_model())
+    tok = SentencePieceTokenizer.from_file(str(path))
+    ids = tok.encode("hello world", bos=True)
+    assert ids[0] == tok.bos_id == 1
+    pieces = [tok.pieces[i] for i in ids[1:]]
+    assert pieces == ["▁hello", "▁world"]
+    assert tok.decode(ids) == "hello world"
+    assert tok.is_stop(tok.eos_id)
+
+
+def test_spm_byte_fallback(tmp_path):
+    path = tmp_path / "tok.model"
+    path.write_bytes(_build_spm_model())
+    tok = SentencePieceTokenizer.from_file(str(path))
+    # 'é' is not in the vocab: must fall back to bytes (only 0x68 exists ->
+    # other bytes map to unk)
+    ids = tok.encode("h", bos=False)
+    assert ids == [tok.piece_to_id["▁"], tok.piece_to_id["h"]]
+
+
+def _write_llama2c_bin(path, pieces_scores):
+    with open(path, "wb") as f:
+        f.write(struct.pack("<i", 16))
+        for piece, score in pieces_scores:
+            raw = piece.encode("utf-8")
+            f.write(struct.pack("<f", score))
+            f.write(struct.pack("<i", len(raw)))
+            f.write(raw)
+
+
+def test_llama2c_tokenizer(tmp_path):
+    vocab = [
+        ("<unk>", 0.0), ("\n<s>\n", 0.0), ("\n</s>\n", 0.0),
+        (" ", -2.0), ("h", -3.0), ("i", -3.1), ("hi", -1.0), (" hi", -0.5),
+    ]
+    path = str(tmp_path / "tokenizer.bin")
+    _write_llama2c_bin(path, vocab)
+    tok = Llama2cTokenizer.from_file(path, vocab_size=len(vocab))
+    ids = tok.encode("hi", bos=True)
+    assert ids[0] == 1
+    assert [tok.pieces[i] for i in ids[1:]] == ["▁hi"]
+    assert tok.decode(ids) == "hi"
+
+
+def test_bpe_tokenizer_json(tmp_path):
+    tokenizers = pytest.importorskip("tokenizers")
+    from tokenizers import Tokenizer as HFTok, decoders, models, pre_tokenizers, trainers
+
+    tk = HFTok(models.BPE(unk_token=None))
+    tk.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tk.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=400,
+        special_tokens=["<|begin_of_text|>", "<|end_of_text|>", "<|eot_id|>"],
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+    )
+    tk.train_from_iterator(
+        ["hello world", "the quick brown fox", "hello there"], trainer
+    )
+    path = str(tmp_path / "tokenizer.json")
+    tk.save(path)
+
+    tok = load_tokenizer(path, family="llama3")
+    ids = tok.encode("hello world")
+    assert ids[0] == tok.bos_id
+    assert tok.decode(ids) == "hello world"
+    assert tok.is_stop(tok.tk.token_to_id("<|eot_id|>"))
+    assert not tok.is_stop(ids[-1])
