@@ -1,0 +1,70 @@
+"""Pallas fused dequant matmul vs the XLA oracle (the reference's
+CPU-oracle-vs-CUDA pattern, test/test_op/test_cu_matmul.cpp — here the
+jnp/XLA group-wise expression is the oracle and the Pallas kernel the DUT;
+on CPU the kernel runs in interpreter mode)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from kuiperllama_tpu.ops.linear import _quant_matmul_xla
+from kuiperllama_tpu.ops.pallas.quant_matmul import quant_matmul
+from kuiperllama_tpu.quant import dequantize, quantize_q80
+
+
+def _mk(rng, M, K, N, g=64):
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    w = (rng.standard_normal((K, N)) * 0.05).astype(np.float32)
+    qa = quantize_q80(w, g)
+    return jnp.asarray(x), qa
+
+
+@pytest.mark.parametrize(
+    "M,K,N",
+    [
+        (1, 128, 128),     # decode GEMV, tile-exact
+        (8, 512, 256),     # multiple reduction tiles
+        (4, 192, 320),     # non-tile-aligned K and N (padding path)
+        (16, 128, 512),
+    ],
+)
+def test_matches_dense_matmul(rng, M, K, N):
+    x, qa = _mk(rng, M, K, N)
+    got = np.asarray(quant_matmul(x, qa, mode="exact"))
+    want = np.asarray(x @ dequantize(qa))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_matches_xla_oracle(rng):
+    x, qa = _mk(rng, 2, 256, 192)
+    got = np.asarray(quant_matmul(x, qa, mode="exact"))
+    want = np.asarray(_quant_matmul_xla(x, qa))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_3d_input(rng):
+    x = jnp.asarray(rng.standard_normal((2, 3, 128)).astype(np.float32))
+    w = (rng.standard_normal((128, 256)) * 0.05).astype(np.float32)
+    qa = quantize_q80(w, 64)
+    got = np.asarray(quant_matmul(x, qa, mode="exact"))
+    want = np.asarray(x @ dequantize(qa))
+    assert got.shape == (2, 3, 256)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_activations(rng):
+    x, qa = _mk(rng, 8, 256, 128)
+    xb = x.astype(jnp.bfloat16)
+    got = np.asarray(quant_matmul(xb, qa), dtype=np.float32)
+    want = np.asarray(xb.astype(jnp.float32) @ dequantize(qa))
+    # bf16 inputs: tolerance at bf16 resolution
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+    assert quant_matmul(xb, qa, mode="fast").dtype == jnp.bfloat16
+
+
+def test_fast_mode_bf16_class_error(rng):
+    x, qa = _mk(rng, 8, 512, 256)
+    got = np.asarray(quant_matmul(x, qa, mode="fast"))
+    want = np.asarray(x @ dequantize(qa))
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 1e-2, rel
