@@ -126,6 +126,38 @@ _FAMILY_PRESETS = {
 }
 
 
+# Well-known model shapes (for benches and synthetic checkpoints; real runs
+# take these from the checkpoint header / config.json).
+MODEL_SHAPES = {
+    "stories15m": dict(family="llama2", dim=288, hidden_dim=768, n_layers=6,
+                       n_heads=6, n_kv_heads=6, vocab_size=32000, seq_len=256,
+                       tied_embedding=True),
+    "tinyllama-1.1b": dict(family="llama2", dim=2048, hidden_dim=5632,
+                           n_layers=22, n_heads=32, n_kv_heads=4,
+                           vocab_size=32000, seq_len=2048,
+                           tied_embedding=False),
+    "llama2-7b": dict(family="llama2", dim=4096, hidden_dim=11008,
+                      n_layers=32, n_heads=32, n_kv_heads=32,
+                      vocab_size=32000, seq_len=2048, tied_embedding=False),
+    "llama3.2-1b": dict(family="llama3", dim=2048, hidden_dim=8192,
+                        n_layers=16, n_heads=32, n_kv_heads=8,
+                        vocab_size=128256, seq_len=8192, tied_embedding=True),
+    "llama3-8b": dict(family="llama3", dim=4096, hidden_dim=14336,
+                      n_layers=32, n_heads=32, n_kv_heads=8,
+                      vocab_size=128256, seq_len=8192, tied_embedding=False),
+    "qwen2.5-0.5b": dict(family="qwen2", dim=896, hidden_dim=4864,
+                         n_layers=24, n_heads=14, n_kv_heads=2,
+                         vocab_size=151936, seq_len=4096, tied_embedding=True),
+}
+
+
+def preset_config(name: str, **overrides) -> ModelConfig:
+    spec = dict(MODEL_SHAPES[name])
+    spec.update(overrides)
+    family = spec.pop("family")
+    return ModelConfig.from_header(family=family, **spec)
+
+
 def tiny_config(family: str = "llama2", **overrides) -> ModelConfig:
     """A small config for tests (shapes aligned enough to exercise real paths)."""
     base = dict(

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import ModelConfig
-from .quant import QuantArray
+from .quant import QuantArray, quantize_q80
 
 
 def is_quant_leaf(x) -> bool:
@@ -97,6 +97,54 @@ def random_params(
     )
     return dict(
         tok_emb=tok_emb, blocks=blocks, final_norm=np.ones((d,), dtype), lm_head=lm_head
+    )
+
+
+def random_params_device(
+    cfg: ModelConfig,
+    seed: int = 0,
+    dtype=jnp.bfloat16,
+    quantize: bool = False,
+    group_size: int = 64,
+    scale: float = 0.02,
+) -> dict:
+    """Random params generated ON DEVICE (no host->device transfer — the
+    tunnel H2D path is slow; benches synthesize weights directly in HBM).
+    With quantize=True, matmul weights become QuantArray int8."""
+    key = jax.random.PRNGKey(seed)
+    L, d, h, kv = cfg.n_layers, cfg.dim, cfg.hidden_dim, cfg.kv_dim
+
+    keys = iter(jax.random.split(key, 16))
+
+    def mat(*shape, quant=quantize):
+        w = jax.random.normal(next(keys), shape, jnp.float32) * scale
+        if quant:
+            return quantize_q80(w, group_size)
+        return w.astype(dtype)
+
+    blocks = dict(
+        attn_norm=jnp.ones((L, d), jnp.float32),
+        ffn_norm=jnp.ones((L, d), jnp.float32),
+        wq=mat(L, d, d),
+        wk=mat(L, d, kv),
+        wv=mat(L, d, kv),
+        wo=mat(L, d, d),
+        w1=mat(L, d, h),
+        w2=mat(L, h, d),
+        w3=mat(L, d, h),
+    )
+    if cfg.qkv_bias:
+        blocks.update(
+            bq=mat(L, d, quant=False), bk=mat(L, kv, quant=False),
+            bv=mat(L, kv, quant=False),
+        )
+    tok_emb = jax.random.normal(next(keys), (cfg.vocab_size, d), jnp.float32) * scale
+    lm_head = mat(d, cfg.vocab_size)
+    return dict(
+        tok_emb=tok_emb.astype(dtype),
+        blocks=blocks,
+        final_norm=jnp.ones((d,), jnp.float32),
+        lm_head=lm_head,
     )
 
 

@@ -1,20 +1,22 @@
-"""Single-request generation loop (reference demo/main.cpp `generate`).
+"""Generation loops (reference demo/main.cpp `generate`), TPU-native.
 
 Differences from the reference, by design:
   * prefill is ONE batched forward over the whole prompt (the reference
     re-runs its single-token path per prompt token, demo/main.cpp:18-41);
-  * sampling happens on device inside the jitted step — the only per-token
-    host sync is the int32 token fetch for stop-check/detokenization;
-  * prompt lengths are bucketed to powers of two so jit recompiles are
-    bounded (static shapes for XLA).
+  * decode runs as `lax.scan` chunks of N steps inside a single jit call,
+    sampling on device — the reference pays a device->host sync per token
+    (argmax_kernel.cu:80-84); here tokens cross to the host once per chunk;
+  * stop-token handling is on-device: a `done` flag freezes finished rows,
+    the host truncates after fetching the chunk;
+  * KV cache buffers are donated between chunks (no copy growth).
 """
 
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import List, Optional
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -24,12 +26,56 @@ from ..config import ModelConfig
 from ..models import decoder
 from ..ops.sampling import sample_token
 
+MAX_STOP_IDS = 8
+
 
 def _bucket(n: int, minimum: int = 16) -> int:
     b = minimum
     while b < n:
         b *= 2
     return b
+
+
+def _stop_array(stop_ids) -> jnp.ndarray:
+    ids = sorted(set(int(i) for i in stop_ids))[:MAX_STOP_IDS]
+    arr = np.full((MAX_STOP_IDS,), -1, np.int32)
+    arr[: len(ids)] = ids
+    return jnp.asarray(arr)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "steps", "temperature", "top_k", "top_p"),
+    donate_argnames=("kv_cache",),
+)
+def decode_chunk(cfg: ModelConfig, params, token, pos, kv_cache, done, rng,
+                 stop_ids, steps: int, temperature: float = 0.0,
+                 top_k: int = 0, top_p: float = 1.0):
+    """Run `steps` decode iterations on device.
+
+    token: [B] int32 current token; pos: [B] int32 its position.
+    done:  [B] bool rows already finished (their cache/pos stay frozen).
+    Returns (tokens [B, steps], token, pos, kv_cache, done, rng).
+    Emitted tokens after a row finishes repeat the stop token.
+    """
+
+    def step(carry, _):
+        token, pos, kv_cache, done, rng = carry
+        logits, new_cache = decoder.decode_step(cfg, params, token, pos, kv_cache)
+        rng, sub = jax.random.split(rng)
+        nxt = sample_token(logits, sub, temperature, top_k, top_p)
+        nxt = jnp.where(done, token, nxt)
+        # freeze the cache for finished rows by keeping pos fixed: a frozen
+        # row keeps overwriting the same slot, and its emitted token no
+        # longer changes, so the cache content is stable.
+        new_done = done | jnp.any(nxt[:, None] == stop_ids[None, :], axis=-1)
+        new_pos = jnp.where(done, pos, pos + 1)
+        return (nxt, new_pos, new_cache, new_done, rng), nxt
+
+    (token, pos, kv_cache, done, rng), toks = jax.lax.scan(
+        step, (token, pos, kv_cache, done, rng), length=steps
+    )
+    return jnp.transpose(toks), token, pos, kv_cache, done, rng
 
 
 @dataclass
@@ -46,28 +92,22 @@ class GenerateResult:
         return n / self.decode_s if self.decode_s > 0 else float("inf")
 
 
-@partial(jax.jit, static_argnames=("cfg", "temperature", "top_k", "top_p"))
-def _decode_sample_step(cfg, params, token, pos, kv_cache, rng_key,
-                        temperature=0.0, top_k=0, top_p=1.0):
-    logits, kv_cache = decoder.decode_step(cfg, params, token, pos, kv_cache)
-    nxt = sample_token(logits, rng_key, temperature, top_k, top_p)
-    return nxt, kv_cache
-
-
 class Generator:
-    """Holds jitted step functions for one (config, params) pair."""
+    """Single- and batched-request generation over a dense KV cache."""
 
     def __init__(self, cfg: ModelConfig, params, tokenizer=None,
-                 cache_len: Optional[int] = None, cache_dtype=jnp.float32):
+                 cache_len: Optional[int] = None, cache_dtype=jnp.float32,
+                 chunk: int = 64):
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
         self.cache_len = cache_len or cfg.seq_len
         self.cache_dtype = cache_dtype
+        self.chunk = chunk
 
-    def generate_ids(
+    def generate_batch_ids(
         self,
-        prompt_ids: List[int],
+        prompts: Sequence[Sequence[int]],
         max_new_tokens: int = 128,
         temperature: float = 0.0,
         top_k: int = 0,
@@ -75,48 +115,70 @@ class Generator:
         seed: int = 0,
         stop_ids=frozenset(),
     ):
-        """Returns (generated ids, prefill seconds, decode seconds)."""
+        """Batched generation. Returns (list of id-lists, prefill_s, decode_s)."""
         cfg = self.cfg
-        n_prompt = len(prompt_ids)
-        assert n_prompt >= 1
+        B = len(prompts)
+        lens = [len(p) for p in prompts]
+        assert min(lens) >= 1
         limit = min(self.cache_len, cfg.seq_len)
-        assert n_prompt < limit, (n_prompt, limit)
+        assert max(lens) < limit, (max(lens), limit)
 
-        T = min(_bucket(n_prompt), limit)
-        tokens = np.zeros((1, T), np.int32)
-        tokens[0, :n_prompt] = prompt_ids
+        T = min(_bucket(max(lens)), limit)
+        tokens = np.zeros((B, T), np.int32)
+        for i, p in enumerate(prompts):
+            tokens[i, : lens[i]] = p
 
-        cache = decoder.init_kv_cache(cfg, batch=1, max_len=self.cache_len,
+        cache = decoder.init_kv_cache(cfg, batch=B, max_len=self.cache_len,
                                       dtype=self.cache_dtype)
+        stop_arr = _stop_array(stop_ids)
+        rng = jax.random.PRNGKey(seed)
+
         t0 = time.perf_counter()
         last_logits, cache = decoder.prefill(
             cfg, self.params, jnp.asarray(tokens), cache,
-            prompt_lens=jnp.asarray([n_prompt], jnp.int32),
+            prompt_lens=jnp.asarray(lens, jnp.int32),
         )
-        rng = jax.random.PRNGKey(seed)
         rng, sub = jax.random.split(rng)
         token = sample_token(last_logits, sub, temperature, top_k, top_p)
-        token.block_until_ready()
+        done = jnp.any(token[:, None] == stop_arr[None, :], axis=-1)
+        first = np.asarray(token)  # host copy; also syncs prefill
         t1 = time.perf_counter()
 
-        out_ids: List[int] = []
-        decode_s = 0.0
-        pos = n_prompt
-        t_dec0 = time.perf_counter()
-        while pos < min(n_prompt + max_new_tokens, limit):
-            tid = int(token[0])
-            if tid in stop_ids:
-                break
-            out_ids.append(tid)
-            rng, sub = jax.random.split(rng)
-            token, cache = _decode_sample_step(
-                cfg, self.params, token, jnp.full((1,), pos, jnp.int32), cache,
-                sub, temperature=temperature, top_k=top_k, top_p=top_p,
+        pos = jnp.asarray(lens, jnp.int32)
+        budget = min(max_new_tokens, limit - max(lens)) - 1
+        out = [[int(first[i])] for i in range(B)]
+        emitted = 1
+        while budget > 0 and not bool(np.asarray(done).all()):
+            steps = min(self.chunk, budget)
+            toks, token, pos, cache, done, rng = decode_chunk(
+                cfg, self.params, token, pos, cache, done, rng, stop_arr,
+                steps=steps, temperature=temperature, top_k=top_k, top_p=top_p,
             )
-            pos += 1
-        jax.block_until_ready(token)
-        decode_s = time.perf_counter() - t_dec0
-        return out_ids, t1 - t0, decode_s
+            toks_np = np.asarray(toks)
+            for i in range(B):
+                out[i].extend(int(t) for t in toks_np[i])
+            budget -= steps
+            emitted += steps
+        decode_s = time.perf_counter() - t1
+
+        # truncate at (and drop) the first stop token per row
+        stops = set(int(i) for i in stop_ids)
+        cleaned = []
+        for row in out:
+            cut = len(row)
+            for j, t in enumerate(row):
+                if t in stops:
+                    cut = j
+                    break
+            cleaned.append(row[:cut])
+        return cleaned, t1 - t0, decode_s
+
+    def generate_ids(self, prompt_ids: Sequence[int], max_new_tokens: int = 128,
+                     **kw):
+        rows, prefill_s, decode_s = self.generate_batch_ids(
+            [prompt_ids], max_new_tokens, **kw
+        )
+        return rows[0], prefill_s, decode_s
 
     def generate(self, prompt: str, max_new_tokens: int = 128, **kw) -> GenerateResult:
         assert self.tokenizer is not None, "no tokenizer configured"
