@@ -13,7 +13,11 @@ TPU-first structure:
     (demo/main.cpp:18-41), which we deliberately do not copy;
   * static shapes everywhere: cache size, batch and T are compile-time; the
     only dynamic data are token ids and positions;
-  * fp32 softmax/norm accumulation, bf16 (configurable) activations.
+  * fp32 softmax/norm accumulation, bf16 (configurable) activations;
+  * head counts are derived from the weight shapes, not the config, so the
+    same body runs unchanged on a tensor-parallel shard inside `shard_map`
+    (Megatron-style: wq/wk/wv/w1/w3 column-sharded, wo/w2 row-sharded with a
+    psum over `tp_axis` — see parallel/sharded.py).
 """
 
 from __future__ import annotations
@@ -33,11 +37,12 @@ from ..ops.rope import apply_rope, gather_rope, rope_cache
 
 
 def init_kv_cache(cfg: ModelConfig, batch: int, max_len: Optional[int] = None,
-                  dtype=jnp.float32):
+                  dtype=jnp.float32, n_kv_heads: Optional[int] = None):
     """Dense KV cache [L, B, S, KH, hd] (reference: one [L, S, kv_dim] fp32
     block, llama3.cpp:469-475 — ours adds the batch dim)."""
     S = max_len or cfg.seq_len
-    shape = (cfg.n_layers, batch, S, cfg.n_kv_heads, cfg.head_dim)
+    KH = n_kv_heads or cfg.n_kv_heads
+    shape = (cfg.n_layers, batch, S, KH, cfg.head_dim)
     return dict(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
@@ -45,20 +50,22 @@ def build_rope(cfg: ModelConfig):
     return rope_cache(cfg.seq_len, cfg.head_dim, cfg.rope_theta)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def forward(cfg: ModelConfig, params, tokens, positions, kv_cache,
-            kv_len_mask=None):
-    """Forward pass over [B, T] tokens.
+def forward_inner(cfg: ModelConfig, params, tokens, positions, kv_cache,
+                  kv_len_mask=None, tp_axis: Optional[str] = None,
+                  logits_all_gather: bool = True):
+    """Un-jitted forward body (jit/shard_map wrappers below).
 
     tokens:    int32 [B, T]
     positions: int32 [B, T] absolute positions (cache slot == position)
-    kv_cache:  dict(k, v) [L, B, S, KH, hd]; updated functionally.
+    kv_cache:  dict(k, v) [L, B, S, KH_local, hd]; updated functionally.
     kv_len_mask: optional [B, S] bool of valid slots for ragged batches.
+    tp_axis:   name of the tensor-parallel mesh axis when running as a
+               shard_map body (adds psums after row-parallel matmuls).
 
-    Returns (logits fp32 [B, T, vocab], new_kv_cache).
+    Returns (logits fp32 [B, T, vocab_local_or_global], new_kv_cache).
     """
     B, T = tokens.shape
-    H, KH, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    hd = cfg.head_dim
 
     x = params["tok_emb"][tokens]  # [B, T, dim] in weight dtype
     sin, cos = build_rope(cfg)
@@ -66,8 +73,15 @@ def forward(cfg: ModelConfig, params, tokens, positions, kv_cache,
 
     b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
 
+    def maybe_psum(v):
+        return lax.psum(v, tp_axis) if tp_axis else v
+
     def layer_body(x, scanned):
         blk, k_cache, v_cache = scanned
+        # local (possibly sharded) head counts from the weight shapes
+        H = blk["wq"].shape[-1] // hd
+        KH = blk["wk"].shape[-1] // hd
+
         h = rmsnorm(x, blk["attn_norm"], cfg.norm_eps)
         q = linear(h, blk["wq"], blk.get("bq"))
         k = linear(h, blk["wk"], blk.get("bk"))
@@ -84,14 +98,14 @@ def forward(cfg: ModelConfig, params, tokens, positions, kv_cache,
         v_cache = v_cache.at[b_idx, positions].set(v.astype(v_cache.dtype))
 
         attn = attention_dense(q, k_cache, v_cache, positions, kv_len_mask)
-        x = x + linear(attn.reshape(B, T, H * hd), blk["wo"])
+        x = x + maybe_psum(linear(attn.reshape(B, T, H * hd), blk["wo"]))
 
         h = rmsnorm(x, blk["ffn_norm"], cfg.norm_eps)
         gate = linear(h, blk["w1"])
         up = linear(h, blk["w3"])
         act = (gate.astype(jnp.float32) * jax.nn.sigmoid(gate.astype(jnp.float32))
                ).astype(x.dtype) * up
-        x = x + linear(act, blk["w2"])
+        x = x + maybe_psum(linear(act, blk["w2"]))
         return x, (k_cache, v_cache)
 
     x, (new_k, new_v) = lax.scan(
@@ -99,10 +113,21 @@ def forward(cfg: ModelConfig, params, tokens, positions, kv_cache,
     )
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     logits = linear(x, params["lm_head"]).astype(jnp.float32)
+    if tp_axis and logits_all_gather:
+        # lm_head is vocab-sharded; reassemble full logits for sampling
+        logits = lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
     return logits, dict(k=new_k, v=new_v)
 
 
-def prefill(cfg: ModelConfig, params, tokens, kv_cache, prompt_lens=None):
+@partial(jax.jit, static_argnames=("cfg",))
+def forward(cfg: ModelConfig, params, tokens, positions, kv_cache,
+            kv_len_mask=None):
+    """Single-device jitted forward over [B, T] tokens."""
+    return forward_inner(cfg, params, tokens, positions, kv_cache, kv_len_mask)
+
+
+def prefill(cfg: ModelConfig, params, tokens, kv_cache, prompt_lens=None,
+            forward_fn=None):
     """Batched prefill of [B, T] prompts starting at position 0.
 
     prompt_lens: optional [B] int32 actual lengths (tokens beyond are padding).
@@ -116,16 +141,19 @@ def prefill(cfg: ModelConfig, params, tokens, kv_cache, prompt_lens=None):
     S = kv_cache["k"].shape[2]
     slot = jnp.arange(S, dtype=jnp.int32)
     kv_len_mask = slot[None, :] < prompt_lens[:, None]
-    logits, cache = forward(cfg, params, tokens, positions, kv_cache, kv_len_mask)
+    fwd = forward_fn or forward
+    logits, cache = fwd(cfg, params, tokens, positions, kv_cache, kv_len_mask)
     last = jnp.take_along_axis(
         logits, (prompt_lens - 1)[:, None, None].astype(jnp.int32), axis=1
     )[:, 0]
     return last, cache
 
 
-def decode_step(cfg: ModelConfig, params, token, pos, kv_cache, kv_len_mask=None):
+def decode_step(cfg: ModelConfig, params, token, pos, kv_cache,
+                kv_len_mask=None, forward_fn=None):
     """One batched decode step. token: [B] int32, pos: [B] int32."""
-    logits, cache = forward(
+    fwd = forward_fn or forward
+    logits, cache = fwd(
         cfg, params, token[:, None], pos[:, None], kv_cache, kv_len_mask
     )
     return logits[:, 0], cache
