@@ -1,0 +1,67 @@
+"""Continuous-batching engine tests: results must match single-request
+generation exactly (greedy), slots must recycle, TTFT must be recorded."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from kuiperllama_tpu.config import tiny_config
+from kuiperllama_tpu.params import random_params, to_device
+from kuiperllama_tpu.serving.engine import Engine, Request
+from kuiperllama_tpu.serving.generate import Generator
+from kuiperllama_tpu.ops.linear import set_use_pallas
+
+
+@pytest.fixture(autouse=True)
+def _xla_path():
+    set_use_pallas(False)
+    yield
+    set_use_pallas(True)
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_config("llama2", seq_len=64)
+    params = to_device(random_params(cfg, seed=11), dtype=jnp.float32)
+    return cfg, params
+
+
+def test_engine_matches_generator(model):
+    cfg, params = model
+    gen = Generator(cfg, params, cache_len=64)
+    prompts = [[1, 5, 9], [2, 3], [7, 7, 7, 7], [4]]
+    want = [gen.generate_ids(p, max_new_tokens=10)[0] for p in prompts]
+
+    eng = Engine(cfg, params, max_batch=2, max_len=64, chunk=4,
+                 cache_dtype=jnp.float32)
+    reqs = [Request(prompt_ids=p, max_new_tokens=10) for p in prompts]
+    done = eng.run(reqs)
+    assert len(done) == 4
+    got = {r.request_id: r.out_ids for r in done}
+    for req, w in zip(reqs, want):
+        assert got[req.request_id] == w, (req.prompt_ids, got[req.request_id], w)
+
+
+def test_engine_continuous_admission(model):
+    cfg, params = model
+    eng = Engine(cfg, params, max_batch=2, max_len=64, chunk=4,
+                 cache_dtype=jnp.float32)
+    # more requests than slots: engine must recycle slots
+    reqs = [Request(prompt_ids=[i + 1, i + 2], max_new_tokens=6)
+            for i in range(5)]
+    done = eng.run(reqs)
+    assert len(done) == 5
+    for r in done:
+        assert len(r.out_ids) == 6
+        assert r.ttft_s >= 0
+        assert r.finish_time >= r.first_token_time
+
+
+def test_engine_max_tokens_respected(model):
+    cfg, params = model
+    eng = Engine(cfg, params, max_batch=4, max_len=64, chunk=8,
+                 cache_dtype=jnp.float32)
+    done = eng.run([Request(prompt_ids=[3, 1], max_new_tokens=1),
+                    Request(prompt_ids=[3, 1], max_new_tokens=13)])
+    lens = sorted(len(r.out_ids) for r in done)
+    assert lens == [1, 13]
