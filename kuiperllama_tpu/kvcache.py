@@ -1,0 +1,126 @@
+"""Paged KV cache.
+
+Replaces the reference's dense preallocated [L, seq_len, kv_dim] fp32 block
+(kuiper/source/model/llama3.cpp:469-475) with a paged pool: fixed-size pages
+allocated to sequences on demand, so memory scales with actual tokens, not
+max_seqs x max_len, and long-context attention reads only real pages
+(flash-decode kernel in ops/pallas/paged_attention.py).
+
+Layout: pages [L, n_pages, KH, hd, page_size] — one (layer, page) block
+across all kv heads is contiguous and is the DMA unit of the decode kernel
+(per-head DMAs are latency-bound). Tokens live on
+the LANE (last) dimension: Mosaic requires DMA slices 128-aligned on lanes,
+and head_dim is only 64 on TinyLlama/Qwen2.5-0.5B, so [hd, ps] with
+page_size=128 keeps every supported model legal. The page table
+[max_seqs, max_pages_per_seq] int32 and seq_lens [max_seqs] live on host
+(the scheduler owns them) and ship to device per step as scalars.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ModelConfig
+
+
+@dataclass
+class PagedKVCache:
+    k_pages: jax.Array  # [L, P, KH, hd, ps]
+    v_pages: jax.Array  # [L, P, KH, hd, ps]
+    page_size: int
+
+    @property
+    def n_pages(self) -> int:
+        return self.k_pages.shape[1]
+
+
+def init_paged_cache(cfg: ModelConfig, n_pages: int, page_size: int = 128,
+                     dtype=jnp.bfloat16, n_kv_heads: Optional[int] = None
+                     ) -> PagedKVCache:
+    KH = n_kv_heads or cfg.n_kv_heads
+    shape = (cfg.n_layers, n_pages, KH, cfg.head_dim, page_size)
+    return PagedKVCache(
+        k_pages=jnp.zeros(shape, dtype),
+        v_pages=jnp.zeros(shape, dtype),
+        page_size=page_size,
+    )
+
+
+class PageAllocator:
+    """Host-side free-list page allocator + page tables (the scheduler's
+    bookkeeping; nothing here touches the device)."""
+
+    def __init__(self, n_pages: int, page_size: int, max_seqs: int,
+                 max_len: int):
+        self.page_size = page_size
+        self.max_pages_per_seq = -(-max_len // page_size)
+        self.free: List[int] = list(range(n_pages))
+        self.page_table = np.zeros((max_seqs, self.max_pages_per_seq), np.int32)
+        self.seq_lens = np.zeros((max_seqs,), np.int32)
+        self.owned: dict[int, List[int]] = {}
+
+    @property
+    def n_free_pages(self) -> int:
+        return len(self.free)
+
+    def pages_needed(self, n_tokens: int) -> int:
+        return -(-n_tokens // self.page_size)
+
+    def alloc_seq(self, slot: int, n_tokens: int) -> bool:
+        """Reserve pages for a sequence of n_tokens in `slot`. False if OOM."""
+        need = self.pages_needed(max(n_tokens, 1))
+        if need > len(self.free):
+            return False
+        pages = [self.free.pop() for _ in range(need)]
+        self.owned[slot] = pages
+        self.page_table[slot, :need] = pages
+        self.seq_lens[slot] = n_tokens
+        return True
+
+    def extend_seq(self, slot: int, new_len: int) -> bool:
+        """Grow a sequence; allocates a page when it crosses a boundary."""
+        have = len(self.owned[slot])
+        need = self.pages_needed(new_len)
+        while have < need:
+            if not self.free:
+                return False
+            p = self.free.pop()
+            self.owned[slot].append(p)
+            self.page_table[slot, have] = p
+            have += 1
+        self.seq_lens[slot] = new_len
+        return True
+
+    def free_seq(self, slot: int):
+        for p in self.owned.pop(slot, []):
+            self.free.append(p)
+        self.page_table[slot] = 0
+        self.seq_lens[slot] = 0
+
+
+def write_tokens_paged(cache: PagedKVCache, k_new, v_new, slot_pages, offsets):
+    """Scatter new K/V into pages.
+
+    k_new/v_new: [L, B, T, KH, hd] from the layer forward.
+    slot_pages:  [B, T] int32 physical page per token.
+    offsets:     [B, T] int32 in-page offset per token.
+    """
+    L, B, T, KH, hd = k_new.shape
+    # -> [B*T, L, KH, hd]; advanced indices on dims 2 and 4 (page, lane)
+    # put the token axis first in the result, so values must match that.
+    kn = jnp.transpose(k_new, (1, 2, 0, 3, 4)).reshape(B * T, L, KH, hd)
+    vn = jnp.transpose(v_new, (1, 2, 0, 3, 4)).reshape(B * T, L, KH, hd)
+    pages = slot_pages.reshape(B * T)
+    offs = offsets.reshape(B * T)
+    k_pages = cache.k_pages.at[:, pages, :, :, offs].set(
+        kn.astype(cache.k_pages.dtype), mode="drop"
+    )
+    v_pages = cache.v_pages.at[:, pages, :, :, offs].set(
+        vn.astype(cache.v_pages.dtype), mode="drop"
+    )
+    return PagedKVCache(k_pages, v_pages, cache.page_size)
