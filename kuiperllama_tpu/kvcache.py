@@ -107,7 +107,9 @@ def write_tokens_paged(cache: PagedKVCache, k_new, v_new, slot_pages, offsets):
     """Scatter new K/V into pages.
 
     k_new/v_new: [L, B, T, KH, hd] from the layer forward.
-    slot_pages:  [B, T] int32 physical page per token.
+    slot_pages:  [B, T] int32 physical page per token; use a LARGE positive
+                 sentinel (e.g. 2**30) for masked tokens — mode="drop" only
+                 drops out-of-bounds indices, and negative values wrap.
     offsets:     [B, T] int32 in-page offset per token.
     """
     L, B, T, KH, hd = k_new.shape

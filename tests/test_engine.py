@@ -65,3 +65,34 @@ def test_engine_max_tokens_respected(model):
                     Request(prompt_ids=[3, 1], max_new_tokens=13)])
     lens = sorted(len(r.out_ids) for r in done)
     assert lens == [1, 13]
+
+
+def test_paged_engine_matches_dense(model):
+    from kuiperllama_tpu.serving.engine import PagedEngine
+
+    cfg, params = model
+    dense = Engine(cfg, params, max_batch=2, max_len=64, chunk=4,
+                   cache_dtype=jnp.float32)
+    paged = PagedEngine(cfg, params, max_batch=2, max_len=64, chunk=4,
+                        cache_dtype=jnp.float32, page_size=128)
+    prompts = [[1, 5, 9], [2, 3], [7, 7, 7, 7], [4, 11]]
+    want = dense.run([Request(prompt_ids=p, max_new_tokens=9) for p in prompts])
+    got = paged.run([Request(prompt_ids=p, max_new_tokens=9) for p in prompts])
+    assert len(got) == len(want) == 4
+    w = sorted((tuple(r.prompt_ids), tuple(r.out_ids)) for r in want)
+    g = sorted((tuple(r.prompt_ids), tuple(r.out_ids)) for r in got)
+    assert g == w
+
+
+def test_paged_engine_page_recycling(model):
+    from kuiperllama_tpu.serving.engine import PagedEngine
+
+    cfg, params = model
+    eng = PagedEngine(cfg, params, max_batch=2, max_len=64, chunk=4,
+                      cache_dtype=jnp.float32, page_size=128, n_pages=3)
+    reqs = [Request(prompt_ids=[i + 1, i + 2], max_new_tokens=5)
+            for i in range(5)]
+    done = eng.run(reqs)
+    assert len(done) == 5
+    assert all(len(r.out_ids) == 5 for r in done)
+    assert eng.allocator.n_free_pages == 3
