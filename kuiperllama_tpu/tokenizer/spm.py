@@ -100,6 +100,16 @@ class SentencePieceTokenizer(Tokenizer):
         for i, (p, t) in enumerate(zip(pieces, self.types)):
             if t == _BYTE and len(p) == 6 and p.startswith("<0x"):
                 self._byte_ids[int(p[3:5], 16)] = i
+        # native O(n log n) merge engine (runtime/src/spm_bpe.cpp); the
+        # Python loop below stays as the oracle/fallback
+        self._native = None
+        try:
+            from ..runtime.native import SpmMergeEngine, available
+
+            if available():
+                self._native = SpmMergeEngine(self.pieces, self.scores)
+        except Exception:
+            self._native = None
 
     @classmethod
     def from_file(cls, path: str, **kw) -> "SentencePieceTokenizer":
@@ -130,6 +140,17 @@ class SentencePieceTokenizer(Tokenizer):
         if self.add_dummy_prefix and not text.startswith(_SPACE):
             text = _SPACE + text
         ids = self._symbols_of(text)
+        if self._native is not None:
+            ids = self._native.merge(ids)
+        else:
+            ids = self._merge_py(ids)
+        if bos:
+            ids = [self.bos_id] + ids
+        if eos:
+            ids = ids + [self.eos_id]
+        return ids
+
+    def _merge_py(self, ids: List[int]) -> List[int]:
         # merge loop: repeatedly merge the adjacent pair whose concatenation is
         # the highest-score piece in the vocab
         while len(ids) >= 2:
@@ -142,10 +163,6 @@ class SentencePieceTokenizer(Tokenizer):
             if best_i < 0:
                 break
             ids[best_i : best_i + 2] = [best_id]
-        if bos:
-            ids = [self.bos_id] + ids
-        if eos:
-            ids = ids + [self.eos_id]
         return ids
 
     # ---- decode
