@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--prompt-len", type=int, default=32)
     ap.add_argument("--cache-len", type=int, default=1024)
     ap.add_argument("--fp", action="store_true", help="bf16 weights, no quant")
+    ap.add_argument("--engine", action="store_true",
+                    help="continuous-batching serving bench (paged KV cache)")
+    ap.add_argument("--requests", type=int, default=16)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -49,6 +52,10 @@ def main():
     if args.verbose:
         print(f"[bench] {args.model} params {param_bytes(params)/1e9:.2f} GB "
               f"({time.time()-t0:.1f}s to init)", file=sys.stderr)
+
+    if args.engine:
+        _bench_engine(args, cfg, params)
+        return
 
     gen = Generator(cfg, params, cache_len=args.cache_len,
                     cache_dtype=jnp.bfloat16, chunk=args.steps)
@@ -78,6 +85,50 @@ def main():
         "value": round(best, 2),
         "unit": "tokens/s",
         "vs_baseline": round(best / REFERENCE_TOKS_PER_S, 2),
+    }))
+
+
+def _bench_engine(args, cfg, params):
+    """Continuous-batching serving benchmark: aggregate decode tokens/s and
+    p50 TTFT over a queued request burst (BASELINE config: paged KV cache +
+    continuous batching)."""
+    import time
+
+    import numpy as np
+
+    from kuiperllama_tpu.serving.engine import PagedEngine, Request
+
+    import jax.numpy as jnp
+
+    eng = PagedEngine(
+        cfg, params, max_batch=args.batch, max_len=args.cache_len,
+        chunk=64, cache_dtype=jnp.bfloat16,
+    )
+    mk = lambda: [
+        Request(prompt_ids=list(range(5, 5 + args.prompt_len)),
+                max_new_tokens=args.steps)
+        for _ in range(args.requests)
+    ]
+    eng.run(mk()[: args.batch])  # warm/compile
+
+    t0 = time.time()
+    done = eng.run(mk())
+    wall = time.time() - t0
+    total_tokens = sum(len(r.out_ids) for r in done)
+    ttfts = sorted(r.ttft_s for r in done)
+    p50_ttft = ttfts[len(ttfts) // 2]
+    tps = total_tokens / wall
+    if args.verbose:
+        print(f"[bench] engine: {len(done)} reqs, {total_tokens} tokens in "
+              f"{wall:.2f}s; p50 TTFT {p50_ttft * 1e3:.0f} ms", file=sys.stderr)
+    quant = "fp" if args.fp else "int8"
+    print(json.dumps({
+        "metric": f"{args.model} {quant} continuous-batching decode tokens/s "
+                  f"(paged KV, {args.requests} reqs, {args.batch} slots); "
+                  f"p50 TTFT {p50_ttft * 1e3:.0f} ms",
+        "value": round(tps, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tps / REFERENCE_TOKS_PER_S, 2),
     }))
 
 

@@ -1,0 +1,2 @@
+from .generate import Generator, GenerateResult, decode_chunk
+from .engine import Engine, PagedEngine, Request

@@ -45,12 +45,13 @@ def _stop_array(stop_ids) -> jnp.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "steps", "temperature", "top_k", "top_p"),
+    static_argnames=("cfg", "steps", "temperature", "top_k", "top_p",
+                     "forward_fn"),
     donate_argnames=("kv_cache",),
 )
 def decode_chunk(cfg: ModelConfig, params, token, pos, kv_cache, done, rng,
                  stop_ids, steps: int, temperature: float = 0.0,
-                 top_k: int = 0, top_p: float = 1.0):
+                 top_k: int = 0, top_p: float = 1.0, forward_fn=None):
     """Run `steps` decode iterations on device.
 
     token: [B] int32 current token; pos: [B] int32 its position.
@@ -61,7 +62,8 @@ def decode_chunk(cfg: ModelConfig, params, token, pos, kv_cache, done, rng,
 
     def step(carry, _):
         token, pos, kv_cache, done, rng = carry
-        logits, new_cache = decoder.decode_step(cfg, params, token, pos, kv_cache)
+        logits, new_cache = decoder.decode_step(cfg, params, token, pos, kv_cache,
+                                                forward_fn=forward_fn)
         rng, sub = jax.random.split(rng)
         nxt = sample_token(logits, sub, temperature, top_k, top_p)
         nxt = jnp.where(done, token, nxt)
@@ -97,13 +99,14 @@ class Generator:
 
     def __init__(self, cfg: ModelConfig, params, tokenizer=None,
                  cache_len: Optional[int] = None, cache_dtype=jnp.float32,
-                 chunk: int = 64):
+                 chunk: int = 64, forward_fn=None):
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
         self.cache_len = cache_len or cfg.seq_len
         self.cache_dtype = cache_dtype
         self.chunk = chunk
+        self.forward_fn = forward_fn  # e.g. parallel.sharded.ShardedForward
 
     def generate_batch_ids(
         self,
@@ -130,6 +133,8 @@ class Generator:
 
         cache = decoder.init_kv_cache(cfg, batch=B, max_len=self.cache_len,
                                       dtype=self.cache_dtype)
+        if self.forward_fn is not None and hasattr(self.forward_fn, "shard_cache"):
+            cache = self.forward_fn.shard_cache(cache)
         stop_arr = _stop_array(stop_ids)
         rng = jax.random.PRNGKey(seed)
 
@@ -137,6 +142,7 @@ class Generator:
         last_logits, cache = decoder.prefill(
             cfg, self.params, jnp.asarray(tokens), cache,
             prompt_lens=jnp.asarray(lens, jnp.int32),
+            forward_fn=self.forward_fn,
         )
         rng, sub = jax.random.split(rng)
         token = sample_token(last_logits, sub, temperature, top_k, top_p)
@@ -153,6 +159,7 @@ class Generator:
             toks, token, pos, cache, done, rng = decode_chunk(
                 cfg, self.params, token, pos, cache, done, rng, stop_arr,
                 steps=steps, temperature=temperature, top_k=top_k, top_p=top_p,
+                forward_fn=self.forward_fn,
             )
             toks_np = np.asarray(toks)
             for i in range(B):

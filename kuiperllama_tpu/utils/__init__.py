@@ -1,0 +1,1 @@
+from .profiling import Timer, device_time, log_json, trace

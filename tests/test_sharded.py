@@ -97,3 +97,20 @@ def test_sharded_decode_steps():
                                    atol=2e-4, rtol=1e-4, err_msg=f"step {step}")
         tok = jnp.argmax(sh_logits, -1).astype(jnp.int32)
         pos = pos + 1
+
+
+def test_sharded_generator_matches_single():
+    from kuiperllama_tpu.serving.generate import Generator
+
+    cfg = tiny_config("llama2", n_heads=8, n_kv_heads=4, dim=128,
+                      hidden_dim=128, vocab_size=256, seq_len=64)
+    params = to_device(random_params(cfg, seed=2), dtype=jnp.float32)
+    gen1 = Generator(cfg, params, cache_len=64)
+    want, _, _ = gen1.generate_ids([3, 9, 1], max_new_tokens=10)
+
+    mesh = make_mesh(dp=1, tp=4)
+    sharded = ShardedForward(cfg, mesh, params)
+    sp = shard_params(params, mesh, cfg)
+    gen2 = Generator(cfg, sp, cache_len=64, forward_fn=sharded)
+    got, _, _ = gen2.generate_ids([3, 9, 1], max_new_tokens=10)
+    assert got == want
