@@ -168,6 +168,8 @@ class SentencePieceTokenizer(Tokenizer):
     # ---- decode
 
     def _piece_text(self, pid: int) -> bytes:
+        if not 0 <= pid < len(self.pieces):
+            return b""  # out-of-vocab id (e.g. model vocab > tokenizer vocab)
         t = self.types[pid]
         if t == _BYTE:
             return bytes([int(self.pieces[pid][3:5], 16)])
@@ -202,8 +204,10 @@ class Llama2cTokenizer(SentencePieceTokenizer):
         with open(path, "rb") as f:
             struct.unpack("<i", f.read(4))  # max_token_length, unused
             for i in range(vocab_size):
-                score = struct.unpack("<f", f.read(4))[0]
-                (ln,) = struct.unpack("<i", f.read(4))
+                hdr = f.read(8)
+                if len(hdr) < 8:  # file smaller than the declared vocab
+                    break
+                score, ln = struct.unpack("<fi", hdr)
                 raw = f.read(ln)
                 try:
                     piece = raw.decode("utf-8")
