@@ -76,16 +76,30 @@ def forward_inner(cfg: ModelConfig, params, tokens, positions, kv_cache,
     def maybe_psum(v):
         return lax.psum(v, tp_axis) if tp_axis else v
 
-    def layer_body(x, scanned):
-        blk, k_cache, v_cache = scanned
-        # local (possibly sharded) head counts from the weight shapes
-        H = blk["wq"].shape[-1] // hd
-        KH = blk["wk"].shape[-1] // hd
-
+    def layer_body(carry, scanned):
+        # cache rides in the CARRY (not xs/ys): xs/ys would hold two full
+        # [L, ...] cache buffers alive through the scan; a donated carry
+        # updated with dynamic_update_index aliases in place.
+        x, k_all, v_all = carry
+        blk, layer_idx = scanned
+        k_cache = lax.dynamic_index_in_dim(k_all, layer_idx, 0, keepdims=False)
+        v_cache = lax.dynamic_index_in_dim(v_all, layer_idx, 0, keepdims=False)
         h = rmsnorm(x, blk["attn_norm"], cfg.norm_eps)
-        q = linear(h, blk["wq"], blk.get("bq"))
-        k = linear(h, blk["wk"], blk.get("bk"))
-        v = linear(h, blk["wv"], blk.get("bv"))
+        # local (possibly sharded) head counts from the weight shapes;
+        # "wqkv"/"w13" are the fused variants (fuse.py) — one kernel call
+        if "wqkv" in blk:
+            H = blk["wo"].shape[-2] // hd
+            KH = (blk["wqkv"].shape[-1] - H * hd) // (2 * hd)
+            qkv = linear(h, blk["wqkv"], blk.get("bqkv"))
+            q = qkv[..., : H * hd]
+            k = qkv[..., H * hd : (H + KH) * hd]
+            v = qkv[..., (H + KH) * hd :]
+        else:
+            H = blk["wq"].shape[-1] // hd
+            KH = blk["wk"].shape[-1] // hd
+            q = linear(h, blk["wq"], blk.get("bq"))
+            k = linear(h, blk["wk"], blk.get("bk"))
+            v = linear(h, blk["wv"], blk.get("bv"))
         q = q.reshape(B, T, H, hd)
         k = k.reshape(B, T, KH, hd)
         v = v.reshape(B, T, KH, hd)
@@ -101,15 +115,24 @@ def forward_inner(cfg: ModelConfig, params, tokens, positions, kv_cache,
         x = x + maybe_psum(linear(attn.reshape(B, T, H * hd), blk["wo"]))
 
         h = rmsnorm(x, blk["ffn_norm"], cfg.norm_eps)
-        gate = linear(h, blk["w1"])
-        up = linear(h, blk["w3"])
+        if "w13" in blk:
+            hidden = blk["w2"].shape[-2]
+            g13 = linear(h, blk["w13"])
+            gate, up = g13[..., :hidden], g13[..., hidden:]
+        else:
+            gate = linear(h, blk["w1"])
+            up = linear(h, blk["w3"])
         act = (gate.astype(jnp.float32) * jax.nn.sigmoid(gate.astype(jnp.float32))
                ).astype(x.dtype) * up
         x = x + maybe_psum(linear(act, blk["w2"]))
-        return x, (k_cache, v_cache)
+        k_all = lax.dynamic_update_index_in_dim(k_all, k_cache, layer_idx, 0)
+        v_all = lax.dynamic_update_index_in_dim(v_all, v_cache, layer_idx, 0)
+        return (x, k_all, v_all), None
 
-    x, (new_k, new_v) = lax.scan(
-        layer_body, x, (params["blocks"], kv_cache["k"], kv_cache["v"])
+    layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
+    (x, new_k, new_v), _ = lax.scan(
+        layer_body, (x, kv_cache["k"], kv_cache["v"]),
+        (params["blocks"], layer_ids),
     )
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     logits = linear(x, params["lm_head"]).astype(jnp.float32)

@@ -33,12 +33,20 @@ from .decoder import build_rope
 
 def _qkv(cfg, blk, x, s, c, B, T):
     hd = cfg.head_dim
-    H = blk["wq"].shape[-1] // hd
-    KH = blk["wk"].shape[-1] // hd
     h = rmsnorm(x, blk["attn_norm"], cfg.norm_eps)
-    q = linear(h, blk["wq"], blk.get("bq")).reshape(B, T, H, hd)
-    k = linear(h, blk["wk"], blk.get("bk")).reshape(B, T, KH, hd)
-    v = linear(h, blk["wv"], blk.get("bv")).reshape(B, T, KH, hd)
+    if "wqkv" in blk:  # fused projection (fuse.py)
+        H = blk["wo"].shape[-2] // hd
+        KH = (blk["wqkv"].shape[-1] - H * hd) // (2 * hd)
+        qkv = linear(h, blk["wqkv"], blk.get("bqkv"))
+        q = qkv[..., : H * hd].reshape(B, T, H, hd)
+        k = qkv[..., H * hd : (H + KH) * hd].reshape(B, T, KH, hd)
+        v = qkv[..., (H + KH) * hd :].reshape(B, T, KH, hd)
+    else:
+        H = blk["wq"].shape[-1] // hd
+        KH = blk["wk"].shape[-1] // hd
+        q = linear(h, blk["wq"], blk.get("bq")).reshape(B, T, H, hd)
+        k = linear(h, blk["wk"], blk.get("bk")).reshape(B, T, KH, hd)
+        v = linear(h, blk["wv"], blk.get("bv")).reshape(B, T, KH, hd)
     q = apply_rope(q, s, c, cfg.rope_style)
     k = apply_rope(k, s, c, cfg.rope_style)
     return q, k, v, H, KH
@@ -47,8 +55,13 @@ def _qkv(cfg, blk, x, s, c, B, T):
 def _mlp_residual(cfg, blk, x, attn_out, B, T, H, hd):
     x = x + linear(attn_out.reshape(B, T, H * hd), blk["wo"])
     h = rmsnorm(x, blk["ffn_norm"], cfg.norm_eps)
-    gate = linear(h, blk["w1"])
-    up = linear(h, blk["w3"])
+    if "w13" in blk:  # fused gate|up projection (fuse.py)
+        hidden = blk["w2"].shape[-2]
+        g13 = linear(h, blk["w13"])
+        gate, up = g13[..., :hidden], g13[..., hidden:]
+    else:
+        gate = linear(h, blk["w1"])
+        up = linear(h, blk["w3"])
     act = (gate.astype(jnp.float32) * jax.nn.sigmoid(gate.astype(jnp.float32))
            ).astype(x.dtype) * up
     return x + linear(act, blk["w2"])
@@ -70,8 +83,11 @@ def prefill_paged(cfg: ModelConfig, params, tokens, prompt_len,
     slot = jnp.arange(T, dtype=jnp.int32)
     kv_mask = slot[None, :] < prompt_len
 
-    def layer_body(x, scanned):
-        blk, kp, vp = scanned
+    def layer_body(carry, scanned):
+        x, kp_all, vp_all = carry  # cache in carry: aliases in place
+        blk, layer_idx = scanned
+        kp = lax.dynamic_index_in_dim(kp_all, layer_idx, 0, keepdims=False)
+        vp = lax.dynamic_index_in_dim(vp_all, layer_idx, 0, keepdims=False)
         q, k, v, H, KH = _qkv(cfg, blk, x, s, c, B, T)
         # causal self-attention over the prompt itself
         attn = attention_dense(q, k, v, positions, kv_mask)
@@ -81,10 +97,13 @@ def prefill_paged(cfg: ModelConfig, params, tokens, prompt_len,
         vp = vp.at[token_pages, :, :, token_offs].set(
             v[0].astype(vp.dtype), mode="drop")
         x = _mlp_residual(cfg, blk, x, attn, B, T, H, hd)
-        return x, (kp, vp)
+        kp_all = lax.dynamic_update_index_in_dim(kp_all, kp, layer_idx, 0)
+        vp_all = lax.dynamic_update_index_in_dim(vp_all, vp, layer_idx, 0)
+        return (x, kp_all, vp_all), None
 
-    x, (k_pages, v_pages) = lax.scan(
-        layer_body, x, (params["blocks"], k_pages, v_pages)
+    layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
+    (x, k_pages, v_pages), _ = lax.scan(
+        layer_body, (x, k_pages, v_pages), (params["blocks"], layer_ids)
     )
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     logits = linear(x, params["lm_head"]).astype(jnp.float32)
@@ -124,8 +143,11 @@ def decode_chunk_paged(cfg: ModelConfig, params, token, pos, k_pages, v_pages,
         write_page = page_table_dev[b_idx, pos // page_size]
         write_off = pos % page_size
 
-        def layer_body(x, scanned):
-            blk, kp, vp = scanned
+        def layer_body(carry, scanned):
+            x, kp_all, vp_all = carry
+            blk, layer_idx = scanned
+            kp = lax.dynamic_index_in_dim(kp_all, layer_idx, 0, keepdims=False)
+            vp = lax.dynamic_index_in_dim(vp_all, layer_idx, 0, keepdims=False)
             q, k, v, H, KH = _qkv(cfg, blk, x, s, c, B, 1)
             kp = kp.at[write_page, :, :, write_off].set(
                 k[:, 0].astype(kp.dtype), mode="drop")
@@ -136,10 +158,13 @@ def decode_chunk_paged(cfg: ModelConfig, params, token, pos, k_pages, v_pages,
                 seq_lens, page_size=page_size,
             )
             x = _mlp_residual(cfg, blk, x, attn[:, None], B, 1, H, hd)
-            return x, (kp, vp)
+            kp_all = lax.dynamic_update_index_in_dim(kp_all, kp, layer_idx, 0)
+            vp_all = lax.dynamic_update_index_in_dim(vp_all, vp, layer_idx, 0)
+            return (x, kp_all, vp_all), None
 
-        x, (k_pages, v_pages) = lax.scan(
-            layer_body, x, (params["blocks"], k_pages, v_pages)
+        layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
+        (x, k_pages, v_pages), _ = lax.scan(
+            layer_body, (x, k_pages, v_pages), (params["blocks"], layer_ids)
         )
         x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
         logits = linear(x[:, 0], params["lm_head"]).astype(jnp.float32)

@@ -73,6 +73,10 @@ def validate_tp(cfg: ModelConfig, tp: int):
 
 def shard_params(params, mesh, cfg: ModelConfig):
     """device_put a params pytree (numpy or device arrays) with TP shardings."""
+    assert "wqkv" not in params["blocks"], (
+        "shard unfused params; qkv/gate fusion (fuse.py) would interleave "
+        "q|k|v columns across shards incorrectly"
+    )
     validate_tp(cfg, mesh.shape[MODEL_AXIS])
     specs = param_pspec_tree(params)
     return jax.tree.map(
