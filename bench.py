@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--prompt-len", type=int, default=32)
     ap.add_argument("--cache-len", type=int, default=1024)
     ap.add_argument("--fp", action="store_true", help="bf16 weights, no quant")
+    ap.add_argument("--no-fuse", action="store_true",
+                    help="disable qkv/gate-up weight fusion")
     ap.add_argument("--engine", action="store_true",
                     help="continuous-batching serving bench (paged KV cache)")
     ap.add_argument("--requests", type=int, default=16)
@@ -48,6 +50,10 @@ def main():
     cfg = preset_config(args.model, seq_len=max(args.cache_len, 256))
     t0 = time.time()
     params = random_params_device(cfg, quantize=not args.fp, dtype=jnp.bfloat16)
+    if not args.no_fuse:
+        from kuiperllama_tpu.fuse import fuse_params
+
+        params = fuse_params(params)
     jax.block_until_ready(params)
     if args.verbose:
         print(f"[bench] {args.model} params {param_bytes(params)/1e9:.2f} GB "

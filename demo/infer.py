@@ -53,6 +53,9 @@ def main():
         cfg, params = load_bin(args.model, family=args.family)
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     params = to_device(params, dtype=dtype)
+    from kuiperllama_tpu.fuse import fuse_params
+
+    params = fuse_params(params)
     tok = load_tokenizer(args.tokenizer, family=cfg.family,
                          vocab_size=cfg.vocab_size)
     print(f"[load] {cfg.family} dim={cfg.dim} L={cfg.n_layers} "
