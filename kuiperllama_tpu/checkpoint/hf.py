@@ -18,7 +18,7 @@ from typing import Dict
 
 import numpy as np
 
-from ..config import ModelConfig
+from ..config import ModelConfig, RopeScaling
 
 _SAFETENSORS_DTYPES = {
     "F64": np.float64,
@@ -88,6 +88,9 @@ def config_from_hf(hf_cfg: dict) -> ModelConfig:
         rope_theta=float(hf_cfg.get("rope_theta", 10000.0)),
         norm_eps=float(hf_cfg.get("rms_norm_eps", 1e-5)),
         qkv_bias=qkv_bias,
+        # Llama-3.1/3.2 frequency-dependent scaling (BASELINE configs[2]);
+        # ignoring this silently diverges from HF on any 3.1+ checkpoint.
+        rope_scaling=RopeScaling.from_hf(hf_cfg.get("rope_scaling")),
     )
 
 

@@ -26,6 +26,41 @@ ROPE_HALF = "half"
 
 
 @dataclass(frozen=True)
+class RopeScaling:
+    """Llama-3.x frequency-dependent RoPE scaling (HF rope_scaling dict,
+    rope_type="llama3"), plus the trivial "linear" variant. Frozen/hashable so
+    ModelConfig stays a valid static jit argument."""
+
+    rope_type: str  # "llama3" | "linear"
+    factor: float
+    low_freq_factor: float = 1.0
+    high_freq_factor: float = 4.0
+    original_max_position_embeddings: int = 8192
+
+    @staticmethod
+    def from_hf(d: Optional[dict]) -> Optional["RopeScaling"]:
+        """Parse an HF config.json rope_scaling dict (None/default passthrough)."""
+        if not d:
+            return None
+        rope_type = d.get("rope_type", d.get("type", "default"))
+        if rope_type == "default":
+            return None
+        if rope_type == "linear":
+            return RopeScaling(rope_type="linear", factor=float(d["factor"]))
+        if rope_type == "llama3":
+            return RopeScaling(
+                rope_type="llama3",
+                factor=float(d["factor"]),
+                low_freq_factor=float(d["low_freq_factor"]),
+                high_freq_factor=float(d["high_freq_factor"]),
+                original_max_position_embeddings=int(
+                    d["original_max_position_embeddings"]
+                ),
+            )
+        raise ValueError(f"unsupported rope_scaling type {rope_type!r}")
+
+
+@dataclass(frozen=True)
 class ModelConfig:
     """Runtime model description. All family-specific knobs are data, not ifdefs."""
 
@@ -43,6 +78,7 @@ class ModelConfig:
     qkv_bias: bool  # Qwen2 carries q/k/v projection biases
     tied_embedding: bool  # lm_head shares the token-embedding matrix
     group_size: Optional[int] = None  # INT8 weight-quant group size (None = fp)
+    rope_scaling: Optional[RopeScaling] = None  # Llama-3.1+/3.2 NTK scaling
 
     # ---- derived quantities (reference model.cpp:125-151 generate_model_infos)
 
@@ -106,7 +142,10 @@ class ModelConfig:
 
     @staticmethod
     def from_json(s: str) -> "ModelConfig":
-        return ModelConfig(**json.loads(s))
+        d = json.loads(s)
+        if d.get("rope_scaling"):
+            d["rope_scaling"] = RopeScaling(**d["rope_scaling"])
+        return ModelConfig(**d)
 
 
 # Family presets mirror the reference's compile-time constants:
@@ -141,7 +180,12 @@ MODEL_SHAPES = {
                       vocab_size=32000, seq_len=2048, tied_embedding=False),
     "llama3.2-1b": dict(family="llama3", dim=2048, hidden_dim=8192,
                         n_layers=16, n_heads=32, n_kv_heads=8,
-                        vocab_size=128256, seq_len=8192, tied_embedding=True),
+                        vocab_size=128256, seq_len=8192, tied_embedding=True,
+                        # HF meta-llama/Llama-3.2-1B config.json rope_scaling
+                        rope_scaling=RopeScaling(
+                            rope_type="llama3", factor=32.0,
+                            low_freq_factor=1.0, high_freq_factor=4.0,
+                            original_max_position_embeddings=8192)),
     "llama3-8b": dict(family="llama3", dim=4096, hidden_dim=14336,
                       n_layers=32, n_heads=32, n_kv_heads=8,
                       vocab_size=128256, seq_len=8192, tied_embedding=False),

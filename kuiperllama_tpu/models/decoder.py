@@ -47,7 +47,8 @@ def init_kv_cache(cfg: ModelConfig, batch: int, max_len: Optional[int] = None,
 
 
 def build_rope(cfg: ModelConfig):
-    return rope_cache(cfg.seq_len, cfg.head_dim, cfg.rope_theta)
+    return rope_cache(cfg.seq_len, cfg.head_dim, cfg.rope_theta,
+                      scaling=cfg.rope_scaling)
 
 
 def forward_inner(cfg: ModelConfig, params, tokens, positions, kv_cache,

@@ -9,15 +9,42 @@ the pairing differs. The sin/cos cache is precomputed once per model
 (reference sin_cos_cache_calc, llama3.cpp:132-141) in fp32.
 """
 
+import math
+
 import jax.numpy as jnp
 
-from ..config import ROPE_HALF, ROPE_INTERLEAVED
+from ..config import ROPE_HALF, ROPE_INTERLEAVED, RopeScaling
 
 
-def rope_cache(seq_len: int, head_dim: int, theta: float):
+def scale_inv_freq(inv_freq, scaling: RopeScaling):
+    """Frequency-dependent RoPE scaling (HF Llama-3.x "llama3" rope_type, also
+    "linear"). Mirrors transformers' _compute_llama3_parameters: low-frequency
+    components (long wavelengths) divide by `factor`, high-frequency components
+    pass through, a smooth ramp interpolates between the two bands."""
+    if scaling is None:
+        return inv_freq
+    if scaling.rope_type == "linear":
+        return inv_freq / scaling.factor
+    assert scaling.rope_type == "llama3", scaling.rope_type
+    old_len = float(scaling.original_max_position_embeddings)
+    low_wavelen = old_len / scaling.low_freq_factor
+    high_wavelen = old_len / scaling.high_freq_factor
+    wavelen = 2.0 * math.pi / inv_freq
+    scaled = jnp.where(wavelen > low_wavelen, inv_freq / scaling.factor, inv_freq)
+    smooth = (old_len / wavelen - scaling.low_freq_factor) / (
+        scaling.high_freq_factor - scaling.low_freq_factor
+    )
+    smoothed = (1.0 - smooth) * inv_freq / scaling.factor + smooth * inv_freq
+    medium = jnp.logical_and(wavelen >= high_wavelen, wavelen <= low_wavelen)
+    return jnp.where(medium, smoothed, scaled)
+
+
+def rope_cache(seq_len: int, head_dim: int, theta: float,
+               scaling: RopeScaling | None = None):
     """Returns (sin, cos), each [seq_len, head_dim // 2], fp32."""
     j = jnp.arange(0, head_dim, 2, dtype=jnp.float32)
     inv_freq = 1.0 / (theta ** (j / head_dim))
+    inv_freq = scale_inv_freq(inv_freq, scaling)
     t = jnp.arange(seq_len, dtype=jnp.float32)[:, None] * inv_freq[None, :]
     return jnp.sin(t), jnp.cos(t)
 

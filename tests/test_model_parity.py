@@ -30,6 +30,24 @@ def _hf_llama(vocab=512, dim=64, inter=192, layers=2, heads=4, kv=2, theta=10000
     return LlamaForCausalLM(cfg).eval()
 
 
+def _hf_llama32(vocab=512, dim=64, inter=192, layers=2, heads=4, kv=2):
+    """Llama-3.2-style config: rope_theta 500000 + llama3 rope_scaling
+    (meta-llama/Llama-3.2-1B uses factor=32; scaled down to the tiny shape's
+    proportions but exercising all three frequency bands)."""
+    cfg = LlamaConfig(
+        vocab_size=vocab, hidden_size=dim, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv, rope_theta=500000.0,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        attn_implementation="eager",
+        rope_scaling={"rope_type": "llama3", "factor": 32.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 64},
+    )
+    torch.manual_seed(2)
+    return LlamaForCausalLM(cfg).eval()
+
+
 def _hf_qwen2(vocab=512, dim=64, inter=192, layers=2, heads=4, kv=2):
     cfg = Qwen2Config(
         vocab_size=vocab, hidden_size=dim, intermediate_size=inter,
@@ -50,7 +68,8 @@ def _to_ours(hf_model):
     return cfg, to_device(params, dtype=jnp.float32)
 
 
-@pytest.mark.parametrize("maker", [_hf_llama, _hf_qwen2], ids=["llama", "qwen2"])
+@pytest.mark.parametrize("maker", [_hf_llama, _hf_llama32, _hf_qwen2],
+                         ids=["llama", "llama3.2-rope-scaling", "qwen2"])
 def test_prefill_logits_match_hf(maker):
     hf = maker()
     cfg, params = _to_ours(hf)
