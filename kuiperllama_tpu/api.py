@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import ModelConfig
-from .errors import InvalidArgument, PathNotValid, check
+from .errors import InvalidArgument, ModelParseError, PathNotValid, check
 from .models import decoder
 from .params import to_device
 from .serving.generate import GenerateResult, Generator
@@ -63,10 +63,12 @@ class KuiperModel:
             tok = load_tokenizer(tokenizer_path, family=cfg.family,
                                  vocab_size=cfg.vocab_size)
             # the reference overrides vocab_size from the tokenizer
-            # (model.cpp:172); keep the checkpoint's when they disagree but
-            # validate the tokenizer fits
-            check(tok.vocab_size <= cfg.vocab_size or cfg.tied_embedding
-                  or True, "tokenizer larger than model vocab")
+            # (model.cpp:172); we keep the checkpoint's, but a tokenizer
+            # bigger than the model vocab would encode ids the embedding
+            # cannot look up — reject it
+            check(tok.vocab_size <= cfg.vocab_size,
+                  f"tokenizer vocab {tok.vocab_size} exceeds model vocab "
+                  f"{cfg.vocab_size}", ModelParseError)
         return cls(cfg, params, tok)
 
     # ---- init (reference Model::init: device select + weight upload)

@@ -46,6 +46,7 @@ from typing import Optional
 import numpy as np
 
 from ..config import ModelConfig
+from ..errors import ModelParseError
 from ..quant import quantize_q80_np
 
 _HEADER_V0 = struct.Struct("<7i")
@@ -92,23 +93,40 @@ def load_bin(
     (converted to QuantArray by `params.to_device`).
     """
     mm = np.memmap(path, dtype=np.uint8, mode="r")
+    if len(mm) < _HEADER_V3.size:
+        raise ModelParseError(
+            f"{path}: {len(mm)} bytes is too small for a .bin header")
     dim, hidden, n_layers, n_heads, n_kv, vocab_signed, seq_len = _HEADER_V0.unpack(
         bytes(mm[: _HEADER_V0.size])
     )
     tied = vocab_signed > 0
     vocab = abs(vocab_signed)
+    hdr = dict(dim=dim, hidden=hidden, layers=n_layers, heads=n_heads,
+               kv_heads=n_kv, vocab=vocab_signed, seq_len=seq_len)
+    if not (dim > 0 and hidden > 0 and n_layers > 0 and n_heads > 0
+            and 0 < n_kv <= n_heads and vocab_signed != 0 and seq_len > 0
+            and dim % n_heads == 0 and n_heads % n_kv == 0):
+        raise ModelParseError(f"{path}: malformed header {hdr}")
     head_dim = dim // n_heads
     kv_dim = n_kv * head_dim
+    qkv_bias = config_overrides.get(
+        "qkv_bias", family == "qwen2")  # Qwen2 v0 carries q/k/v biases
 
+    (g8,) = struct.unpack("<i", bytes(mm[28:32]))
+    v3_ok = (1 <= g8 <= 4096 and dim % g8 == 0 and _v3_size_matches(
+        len(mm), dim, hidden, n_layers, n_heads, n_kv, vocab, tied, g8))
+    v0_ok = len(mm) == _v0_size(dim, hidden, n_layers, n_heads, n_kv, vocab,
+                                tied, seq_len, qkv_bias)
     if quantized is None:
-        (g,) = struct.unpack("<i", bytes(mm[28:32]))
-        quantized = 1 <= g <= 4096 and dim % g == 0 and _v3_size_matches(
-            len(mm), dim, hidden, n_layers, n_heads, n_kv, vocab, tied, g
-        )
+        quantized = v3_ok
+    if not (v3_ok if quantized else v0_ok):
+        raise ModelParseError(
+            f"{path}: body size {len(mm)} does not match the "
+            f"{'v3' if quantized else 'v0'} layout for header {hdr}")
     group_size = None
     body = _HEADER_V0.size
     if quantized:
-        (group_size,) = struct.unpack("<i", bytes(mm[28:32]))
+        group_size = g8
         body = _HEADER_V3.size
 
     cfg = ModelConfig.from_header(
@@ -131,6 +149,22 @@ def load_bin(
     else:
         params = _read_v0(cur, cfg)
     return cfg, params
+
+
+def _v0_size(dim, hidden, L, n_heads, n_kv, vocab, tied, seq_len,
+             qkv_bias) -> int:
+    """Exact v0 body size (reference tools/export.py:96-131 layout)."""
+    head_dim = dim // n_heads
+    kv_dim = n_kv * head_dim
+    n = vocab * dim                                # tok_emb
+    n += 2 * L * dim + dim                         # attn/ffn norms, final norm
+    n += L * (2 * dim * dim + 2 * kv_dim * dim + 3 * hidden * dim)
+    if qkv_bias:
+        n += L * (dim + 2 * kv_dim)                # Qwen2 q/k/v biases
+    n += seq_len * head_dim                        # freqs_cos + freqs_sin
+    if not tied:
+        n += vocab * dim                           # wcls
+    return _HEADER_V0.size + n * 4
 
 
 def _v3_size_matches(nbytes, dim, hidden, L, n_heads, n_kv, vocab, tied, g) -> bool:

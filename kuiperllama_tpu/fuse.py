@@ -53,3 +53,42 @@ def fuse_params(params):
 
 def is_fused(blocks) -> bool:
     return "wqkv" in blocks
+
+
+def fuse_params_sharded(params, mesh):
+    """qkv/gate-up fusion of an ALREADY tensor-sharded params tree.
+
+    Host-side fusion before sharding is invalid: concatenating global
+    q|k|v columns and then column-sharding the result hands each shard a
+    contiguous block of GLOBAL columns, mixing q/k/v of different shards.
+    Fusing inside shard_map concatenates each shard's LOCAL columns instead
+    — the global view becomes [q_0|k_0|v_0 | q_1|k_1|v_1 | ...], which is
+    exactly what the shard_map decoder body (local-shape splits) expects.
+    Returns a new params tree with wqkv/w13 (and bqkv) leaves sharded on
+    the model axis.
+    """
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from .parallel.mesh import MODEL_AXIS
+
+    col = P(None, None, MODEL_AXIS)
+    vec = P(None, MODEL_AXIS)
+
+    def cat(n_in, spec):
+        fuse = lambda *ws: _concat_out(list(ws))
+        return jax.jit(jax.shard_map(
+            fuse, mesh=mesh, in_specs=(spec,) * n_in, out_specs=spec,
+            check_vma=False,
+        ))
+
+    blocks = dict(params["blocks"])
+    blocks["wqkv"] = cat(3, col)(blocks.pop("wq"), blocks.pop("wk"),
+                                 blocks.pop("wv"))
+    blocks["w13"] = cat(2, col)(blocks.pop("w1"), blocks.pop("w3"))
+    if "bq" in blocks:
+        blocks["bqkv"] = cat(3, vec)(blocks.pop("bq"), blocks.pop("bk"),
+                                     blocks.pop("bv"))
+    out = dict(params)
+    out["blocks"] = blocks
+    return out

@@ -6,14 +6,18 @@ allocated to sequences on demand, so memory scales with actual tokens, not
 max_seqs x max_len, and long-context attention reads only real pages
 (flash-decode kernel in ops/pallas/paged_attention.py).
 
-Layout: pages [L, n_pages, KH, hd, page_size] — one (layer, page) block
-across all kv heads is contiguous and is the DMA unit of the decode kernel
-(per-head DMAs are latency-bound). Tokens live on
-the LANE (last) dimension: Mosaic requires DMA slices 128-aligned on lanes,
-and head_dim is only 64 on TinyLlama/Qwen2.5-0.5B, so [hd, ps] with
-page_size=128 keeps every supported model legal. The page table
-[max_seqs, max_pages_per_seq] int32 and seq_lens [max_seqs] live on host
-(the scheduler owns them) and ship to device per step as scalars.
+Layout (matches ops/pallas/paged_attention.py's matmul dims — all kv heads
+of a page contract in ONE MXU call):
+  k_pages, v_pages: [L, n_pages, hd, KH*page_size]
+One (layer, page) block across all kv heads is contiguous and is the DMA
+unit of the decode kernel (per-head DMAs are latency-bound). Tokens live on
+the LANE dimension for BOTH K and V — Mosaic requires a DMA'd ref's minor
+dim to be 128-aligned and head_dim is only 64 on TinyLlama/Qwen2.5-0.5B, so
+a [.., KH*ps, hd] V layout would be un-DMA-able; the kernel's p @ v matmul
+contracts over lanes instead. A token at (kv head h, in-page offset o) sits
+at lane h*page_size + o. The page table [max_seqs, max_pages_per_seq] int32
+and seq_lens [max_seqs] live on host (the scheduler owns them) and ship to
+device per step as scalars.
 """
 
 from __future__ import annotations
@@ -30,8 +34,8 @@ from .config import ModelConfig
 
 @dataclass
 class PagedKVCache:
-    k_pages: jax.Array  # [L, P, KH, hd, ps]
-    v_pages: jax.Array  # [L, P, KH, hd, ps]
+    k_pages: jax.Array  # [L, P, hd, KH*ps]
+    v_pages: jax.Array  # [L, P, hd, KH*ps]
     page_size: int
 
     @property
@@ -43,7 +47,8 @@ def init_paged_cache(cfg: ModelConfig, n_pages: int, page_size: int = 128,
                      dtype=jnp.bfloat16, n_kv_heads: Optional[int] = None
                      ) -> PagedKVCache:
     KH = n_kv_heads or cfg.n_kv_heads
-    shape = (cfg.n_layers, n_pages, KH, cfg.head_dim, page_size)
+    hd = cfg.head_dim
+    shape = (cfg.n_layers, n_pages, hd, KH * page_size)
     return PagedKVCache(
         k_pages=jnp.zeros(shape, dtype),
         v_pages=jnp.zeros(shape, dtype),
@@ -113,16 +118,19 @@ def write_tokens_paged(cache: PagedKVCache, k_new, v_new, slot_pages, offsets):
     offsets:     [B, T] int32 in-page offset per token.
     """
     L, B, T, KH, hd = k_new.shape
-    # -> [B*T, L, KH, hd]; advanced indices on dims 2 and 4 (page, lane)
-    # put the token axis first in the result, so values must match that.
-    kn = jnp.transpose(k_new, (1, 2, 0, 3, 4)).reshape(B * T, L, KH, hd)
-    vn = jnp.transpose(v_new, (1, 2, 0, 3, 4)).reshape(B * T, L, KH, hd)
+    ps = cache.page_size
     pages = slot_pages.reshape(B * T)
-    offs = offsets.reshape(B * T)
-    k_pages = cache.k_pages.at[:, pages, :, :, offs].set(
+    # lane index of (kv head h, in-page offset o) is h*ps + o
+    lanes = (jnp.arange(KH, dtype=jnp.int32)[None, :] * ps
+             + offsets.reshape(B * T)[:, None])  # [B*T, KH]
+    # pages [L, P, hd, KH*ps]: advanced indices at dims 1 and 3
+    # (non-adjacent -> result dims lead): [B*T, KH, L, hd]
+    kn = jnp.transpose(k_new, (1, 2, 3, 0, 4)).reshape(B * T, KH, L, hd)
+    vn = jnp.transpose(v_new, (1, 2, 3, 0, 4)).reshape(B * T, KH, L, hd)
+    k_pages = cache.k_pages.at[:, pages[:, None], :, lanes].set(
         kn.astype(cache.k_pages.dtype), mode="drop"
     )
-    v_pages = cache.v_pages.at[:, pages, :, :, offs].set(
+    v_pages = cache.v_pages.at[:, pages[:, None], :, lanes].set(
         vn.astype(cache.v_pages.dtype), mode="drop"
     )
     return PagedKVCache(k_pages, v_pages, cache.page_size)

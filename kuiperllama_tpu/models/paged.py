@@ -52,8 +52,13 @@ def _qkv(cfg, blk, x, s, c, B, T):
     return q, k, v, H, KH
 
 
-def _mlp_residual(cfg, blk, x, attn_out, B, T, H, hd):
-    x = x + linear(attn_out.reshape(B, T, H * hd), blk["wo"])
+def _mlp_residual(cfg, blk, x, attn_out, B, T, H, hd, tp_axis=None):
+    """Attention output projection + SwiGLU MLP with residuals. Under tensor
+    parallelism (tp_axis set) wo/w2 are row-parallel: psum after each."""
+    def maybe_psum(v):
+        return lax.psum(v, tp_axis) if tp_axis else v
+
+    x = x + maybe_psum(linear(attn_out.reshape(B, T, H * hd), blk["wo"]))
     h = rmsnorm(x, blk["ffn_norm"], cfg.norm_eps)
     if "w13" in blk:  # fused gate|up projection (fuse.py)
         hidden = blk["w2"].shape[-2]
@@ -64,16 +69,22 @@ def _mlp_residual(cfg, blk, x, attn_out, B, T, H, hd):
         up = linear(h, blk["w3"])
     act = (gate.astype(jnp.float32) * jax.nn.sigmoid(gate.astype(jnp.float32))
            ).astype(x.dtype) * up
-    return x + linear(act, blk["w2"])
+    return x + maybe_psum(linear(act, blk["w2"]))
 
 
-@partial(jax.jit, static_argnames=("cfg",),
-         donate_argnames=("k_pages", "v_pages"))
-def prefill_paged(cfg: ModelConfig, params, tokens, prompt_len,
-                  k_pages, v_pages, token_pages, token_offs):
-    """Prefill one request. tokens [1, T]; token_pages/token_offs [T] map
-    each prompt position to its (physical page, in-page offset).
-    Returns (last_logits [1, vocab], k_pages, v_pages)."""
+def prefill_paged_inner(cfg: ModelConfig, params, tokens, prompt_lens,
+                        k_pages, v_pages, token_pages, token_offs,
+                        tp_axis=None, logits_all_gather: bool = True):
+    """Batched prefill of admitted requests (the round-1 engine prefilled
+    one request at a time, stalling decode per admission — this runs ONE
+    forward for the whole admit batch). Un-jitted body; see prefill_paged
+    for the single-device jit and parallel/sharded_paged.py for the
+    shard_map wrapper (tp_axis = mesh axis of the tensor-parallel shard).
+
+    tokens [B, T]; prompt_lens [B]; token_pages/token_offs [B, T] map each
+    prompt position to its (physical page, in-page offset) — use a large
+    positive page sentinel (2**30) for padding rows/slots so the scatter
+    drops them. Returns (last_logits [B, vocab], k_pages, v_pages)."""
     B, T = tokens.shape
     hd = cfg.head_dim
     x = params["tok_emb"][tokens]
@@ -81,7 +92,7 @@ def prefill_paged(cfg: ModelConfig, params, tokens, prompt_len,
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
     s, c = gather_rope(sin, cos, positions)
     slot = jnp.arange(T, dtype=jnp.int32)
-    kv_mask = slot[None, :] < prompt_len
+    kv_mask = slot[None, :] < prompt_lens[:, None]
 
     def layer_body(carry, scanned):
         x, kp_all, vp_all = carry  # cache in carry: aliases in place
@@ -89,14 +100,18 @@ def prefill_paged(cfg: ModelConfig, params, tokens, prompt_len,
         kp = lax.dynamic_index_in_dim(kp_all, layer_idx, 0, keepdims=False)
         vp = lax.dynamic_index_in_dim(vp_all, layer_idx, 0, keepdims=False)
         q, k, v, H, KH = _qkv(cfg, blk, x, s, c, B, T)
-        # causal self-attention over the prompt itself
+        # causal self-attention over the prompt itself (rows independent)
         attn = attention_dense(q, k, v, positions, kv_mask)
-        # scatter prompt K/V into pages: kp [P, KH, hd, ps], k[0] [T, KH, hd]
-        kp = kp.at[token_pages, :, :, token_offs].set(
-            k[0].astype(kp.dtype), mode="drop")
-        vp = vp.at[token_pages, :, :, token_offs].set(
-            v[0].astype(vp.dtype), mode="drop")
-        x = _mlp_residual(cfg, blk, x, attn, B, T, H, hd)
+        # scatter prompt K/V into pages (kvcache.py layout: lane of
+        # (kv head h, offset o) is h*ps + o); k/v are [B, T, KH, hd]
+        ps = kp.shape[-1] // KH
+        lanes = (jnp.arange(KH, dtype=jnp.int32)[None, None, :] * ps
+                 + token_offs[:, :, None])  # [B, T, KH]
+        kp = kp.at[token_pages[:, :, None], :, lanes].set(
+            k.astype(kp.dtype), mode="drop")
+        vp = vp.at[token_pages[:, :, None], :, lanes].set(
+            v.astype(vp.dtype), mode="drop")
+        x = _mlp_residual(cfg, blk, x, attn, B, T, H, hd, tp_axis)
         kp_all = lax.dynamic_update_index_in_dim(kp_all, kp, layer_idx, 0)
         vp_all = lax.dynamic_update_index_in_dim(vp_all, vp, layer_idx, 0)
         return (x, kp_all, vp_all), None
@@ -107,27 +122,38 @@ def prefill_paged(cfg: ModelConfig, params, tokens, prompt_len,
     )
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     logits = linear(x, params["lm_head"]).astype(jnp.float32)
-    last = logits[:, prompt_len - 1]
+    if tp_axis and logits_all_gather:
+        logits = lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
+    last = jnp.take_along_axis(
+        logits, (prompt_lens - 1)[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0]
     return last, k_pages, v_pages
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "steps", "page_size", "temperature", "top_k", "top_p"),
-    donate_argnames=("k_pages", "v_pages"),
-)
-def decode_chunk_paged(cfg: ModelConfig, params, token, pos, k_pages, v_pages,
-                       done, rng, stop_ids, page_table_dev,
-                       flat_b, flat_page, flat_tok0, n_items,
-                       steps: int, page_size: int = 128,
-                       temperature: float = 0.0, top_k: int = 0,
-                       top_p: float = 1.0):
+@partial(jax.jit, static_argnames=("cfg",),
+         donate_argnames=("k_pages", "v_pages"))
+def prefill_paged(cfg: ModelConfig, params, tokens, prompt_lens,
+                  k_pages, v_pages, token_pages, token_offs):
+    """Single-device jit of prefill_paged_inner."""
+    return prefill_paged_inner(cfg, params, tokens, prompt_lens,
+                               k_pages, v_pages, token_pages, token_offs)
+
+
+def decode_chunk_paged_inner(cfg: ModelConfig, params, token, pos,
+                             k_pages, v_pages, done, rng, stop_ids,
+                             page_table_dev, flat_b, flat_page, flat_tok0,
+                             n_items, steps: int, page_size: int = 128,
+                             temperature: float = 0.0, top_k: int = 0,
+                             top_p: float = 1.0, tp_axis=None):
     """Run `steps` decode iterations over the paged cache.
 
     token/pos/done: [B] current state. page_table_dev: [B, max_pages] int32
     (device copy for locating the write page of each new token). The flat_*
     work list must cover each row's pages up to pos+steps (pre-extended by
     the scheduler); unwritten tail slots are masked via seq_lens = pos+1.
+    Under tensor parallelism (tp_axis set, see parallel/sharded_paged.py)
+    pages/weights are local shards, the work list is replicated, and logits
+    are all-gathered before sampling so every shard samples the same token.
     Returns (tokens [B, steps], token, pos, k_pages, v_pages, done, rng).
     """
     B = token.shape[0]
@@ -149,15 +175,17 @@ def decode_chunk_paged(cfg: ModelConfig, params, token, pos, k_pages, v_pages,
             kp = lax.dynamic_index_in_dim(kp_all, layer_idx, 0, keepdims=False)
             vp = lax.dynamic_index_in_dim(vp_all, layer_idx, 0, keepdims=False)
             q, k, v, H, KH = _qkv(cfg, blk, x, s, c, B, 1)
-            kp = kp.at[write_page, :, :, write_off].set(
+            lanes = (jnp.arange(KH, dtype=jnp.int32)[None, :] * page_size
+                     + write_off[:, None])  # [B, KH]
+            kp = kp.at[write_page[:, None], :, lanes].set(
                 k[:, 0].astype(kp.dtype), mode="drop")
-            vp = vp.at[write_page, :, :, write_off].set(
+            vp = vp.at[write_page[:, None], :, lanes].set(
                 v[:, 0].astype(vp.dtype), mode="drop")
             attn = paged_attention_flat(
                 q[:, 0], kp, vp, flat_b, flat_page, flat_tok0, n_items,
                 seq_lens, page_size=page_size,
             )
-            x = _mlp_residual(cfg, blk, x, attn[:, None], B, 1, H, hd)
+            x = _mlp_residual(cfg, blk, x, attn[:, None], B, 1, H, hd, tp_axis)
             kp_all = lax.dynamic_update_index_in_dim(kp_all, kp, layer_idx, 0)
             vp_all = lax.dynamic_update_index_in_dim(vp_all, vp, layer_idx, 0)
             return (x, kp_all, vp_all), None
@@ -168,6 +196,8 @@ def decode_chunk_paged(cfg: ModelConfig, params, token, pos, k_pages, v_pages,
         )
         x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
         logits = linear(x[:, 0], params["lm_head"]).astype(jnp.float32)
+        if tp_axis:
+            logits = lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
 
         rng, sub = jax.random.split(rng)
         nxt = sample_token(logits, sub, temperature, top_k, top_p)
@@ -180,3 +210,23 @@ def decode_chunk_paged(cfg: ModelConfig, params, token, pos, k_pages, v_pages,
         step, (token, pos, k_pages, v_pages, done, rng), length=steps
     )
     return jnp.transpose(toks), token, pos, k_pages, v_pages, done, rng
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "steps", "page_size", "temperature", "top_k", "top_p"),
+    donate_argnames=("k_pages", "v_pages"),
+)
+def decode_chunk_paged(cfg: ModelConfig, params, token, pos, k_pages, v_pages,
+                       done, rng, stop_ids, page_table_dev,
+                       flat_b, flat_page, flat_tok0, n_items,
+                       steps: int, page_size: int = 128,
+                       temperature: float = 0.0, top_k: int = 0,
+                       top_p: float = 1.0):
+    """Single-device jit of decode_chunk_paged_inner."""
+    return decode_chunk_paged_inner(
+        cfg, params, token, pos, k_pages, v_pages, done, rng, stop_ids,
+        page_table_dev, flat_b, flat_page, flat_tok0, n_items,
+        steps=steps, page_size=page_size, temperature=temperature,
+        top_k=top_k, top_p=top_p,
+    )

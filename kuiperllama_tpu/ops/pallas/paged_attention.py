@@ -8,22 +8,36 @@ run Pallas grids (sequentially, one core) and by DMA latency:
   * The scheduler flattens the batch's pages into ONE work list
     (flat_b[i], flat_page[i]) so the kernel is a single program whose DMA
     pipeline streams continuously across sequence boundaries — per-sequence
-    grid programs would drain/refill the pipeline at every boundary and
-    per-head DMAs (16KB) are latency-bound.
-  * Pages are [P, KH, hd, ps]: page-major so one DMA fetches a page across
-    ALL kv heads (contiguous KH*hd*ps block); tokens on the LANE dim
-    (ps=128) because Mosaic requires 128-aligned DMA slices on lanes and
-    head_dim is 64 on TinyLlama/Qwen2.5-0.5B.
-  * Online softmax (flash running max/sum) per kv head; the q block for a
-    kv head is its whole GQA query group [kv_mul, hd] (the reference
-    indexes head/kv_mul per thread, mha_kernel.cu:60).
-  * A sequence's accumulators finalize into the output when the work list
+    grid programs would drain/refill the pipeline at every boundary.
+  * Pages pack ALL kv heads into the matmul dims so one page is two MXU
+    calls regardless of head count (the round-1 kernel looped Python-side
+    over kv heads, issuing KH tiny [kv_mul, hd] x [hd, ps] matmuls —
+    32 unrolled M=1 matmuls per page at Llama-2-7B's MHA geometry):
+      k_pages [P, hd, KH*ps]:  scores = q [H, hd] @ k            -> [H, KH*ps]
+      v_pages [P, hd, KH*ps]:  out    = p [H, KH*ps] @ v^T(lanes) -> [H, hd]
+    A head only attends its own kv head's ps-column block; the other
+    (KH-1)*ps columns are masked to -inf (block-diagonal mask). The masked
+    FLOPs are free — at M=H these matmuls are DMA-bound, and one [H, ...]
+    MXU call beats KH one-row calls by ~KH on the systolic array.
+  * K and V use the SAME layout: tokens-per-kv-head on the LANE dim.
+    Mosaic requires a DMA'd ref's minor dim to be 128-aligned, so a
+    [P, KH*ps, hd] V layout is un-DMA-able when hd=64 (TinyLlama,
+    Qwen2.5-0.5B); instead V stays [P, hd, KH*ps] and the p @ v
+    contraction runs over the LANE dim of both operands (a transposed-rhs
+    dot_general the MXU handles natively).
+  * Online softmax (flash running max/sum) across the page list; a
+    sequence's accumulators finalize into the output when the work list
     moves to the next sequence (flat_b is sorted).
+  * Numerics: score matmul runs on the native dtype with fp32 accumulation
+    (bf16 x bf16 -> fp32 is exact for bf16 inputs). The p @ v matmul casts
+    probabilities to the page dtype (bf16 in production: ~1e-3 relative,
+    the same class as bf16 activations; fp32 tests stay bit-faithful).
 
 Inputs:
   q          [B, H, hd]           (decode: one token per sequence)
-  k_pages    [P, KH, hd, ps]      (one layer's page pool)
-  v_pages    [P, KH, hd, ps]
+  k_pages    [P, hd, KH*ps]       (one layer's page pool, K laid out
+                                   head-major along lanes)
+  v_pages    [P, KH*ps, hd]
   page_table [B, max_pages] int32
   seq_lens   [B] int32            (valid tokens incl. the current one)
 """
@@ -38,7 +52,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-N_SLOTS = 16  # DMA pipeline depth
+_VMEM_BUDGET = 8 << 20  # bytes of VMEM for the K/V DMA pipeline
+
+
+def _n_slots(page_k_bytes: int, page_v_bytes: int) -> int:
+    """DMA pipeline depth: deep for small pages (latency-bound), shallow for
+    big ones (VMEM-bound; MHA-7B pages are 1 MB each)."""
+    return max(2, min(16, _VMEM_BUDGET // (page_k_bytes + page_v_bytes)))
 
 
 def _kernel(
@@ -49,11 +69,20 @@ def _kernel(
     # outputs
     o_ref,
     # scratch
-    kbuf, vbuf, sems, *, page_size: int, n_kv_heads: int, max_items: int,
+    kbuf, vbuf, sems, *, page_size: int, n_kv_heads: int, kv_mul: int,
+    max_items: int, n_slots: int,
 ):
     n_items = n_items_ref[0]
-    B, KH, kv_mul, hd = q_ref.shape
+    B, H, hd = q_ref.shape
+    ps, KH = page_size, n_kv_heads
     scale = jax.lax.rsqrt(jnp.float32(hd))
+
+    # block-diagonal ownership mask: head h only sees kv head h // kv_mul's
+    # ps-column block. Static — computed once, lives in registers/VMEM.
+    col = jax.lax.broadcasted_iota(jnp.int32, (H, KH * ps), 1)
+    head = jax.lax.broadcasted_iota(jnp.int32, (H, KH * ps), 0)
+    own_block = (col // ps) == (head // kv_mul)
+    col_off = col % ps  # token offset of each column within the page
 
     def dma(slot, i):
         page = flat_page_ref[i]
@@ -62,7 +91,7 @@ def _kernel(
             pltpu.make_async_copy(vp_ref.at[page], vbuf.at[slot], sems.at[slot, 1]),
         )
 
-    for w in range(N_SLOTS - 1):
+    for w in range(n_slots - 1):
         @pl.when(w < n_items)
         def _(w=w):
             kd, vd = dma(w, w)
@@ -70,13 +99,13 @@ def _kernel(
             vd.start()
 
     def body(i, carry):
-        m, l, acc = carry  # [KH, kv_mul, 1] x2, [KH, kv_mul, hd]
-        slot = jax.lax.rem(i, N_SLOTS)
-        ahead = i + N_SLOTS - 1
+        m, l, acc = carry  # [H, 1] x2 fp32, [H, hd] fp32
+        slot = jax.lax.rem(i, n_slots)
+        ahead = i + n_slots - 1
 
         @pl.when(ahead < n_items)
         def _():
-            kd, vd = dma(jax.lax.rem(ahead, N_SLOTS), ahead)
+            kd, vd = dma(jax.lax.rem(ahead, n_slots), ahead)
             kd.start()
             vd.start()
 
@@ -86,33 +115,27 @@ def _kernel(
 
         b = flat_b_ref[i]
         seq_len = seq_lens_ref[b]
-        token_idx = flat_tok0_ref[i] + jax.lax.broadcasted_iota(
-            jnp.int32, (kv_mul, page_size), 1
-        )
-        valid = token_idx < seq_len
+        valid = jnp.logical_and(own_block, flat_tok0_ref[i] + col_off < seq_len)
 
-        outs = []
-        for h in range(n_kv_heads):
-            k = kbuf[slot, h].astype(jnp.float32)  # [hd, ps]
-            v = vbuf[slot, h].astype(jnp.float32)
-            qh = q_ref[b, h].astype(jnp.float32)  # dynamic ref read
-            s = jax.lax.dot_general(
-                qh, k, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale  # [kv_mul, ps]
-            s = jnp.where(valid, s, NEG_INF)
-            m_new = jnp.maximum(m[h], jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            corr = jnp.exp(m[h] - m_new)
-            l_new = l[h] * corr + jnp.sum(p, axis=-1, keepdims=True)
-            acc_new = acc[h] * corr + jax.lax.dot_general(
-                p, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            outs.append((m_new, l_new, acc_new))
-        m = jnp.stack([o[0] for o in outs])
-        l = jnp.stack([o[1] for o in outs])
-        acc = jnp.stack([o[2] for o in outs])
+        q = q_ref[b]  # [H, hd] native dtype
+        # bf16 x bf16 -> fp32 accumulation is exact for bf16 inputs
+        s = jax.lax.dot_general(
+            q, kbuf[slot].astype(q.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [H, KH*ps]
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        # p [H, khps] x v [hd, khps] contracting lanes (transposed rhs)
+        pv = jax.lax.dot_general(
+            p.astype(vbuf.dtype), vbuf[slot], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [H, hd]
+        acc = acc * corr + pv
+        m, l = m_new, l_new
 
         # finalize when the NEXT item belongs to a different sequence
         is_last = jnp.logical_or(
@@ -130,13 +153,15 @@ def _kernel(
         acc = acc * fresh
         return m, l, acc
 
-    m0 = jnp.full((KH, kv_mul, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((KH, kv_mul, 1), jnp.float32)
-    acc0 = jnp.zeros((KH, kv_mul, hd), jnp.float32)
+    m0 = jnp.full((H, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((H, 1), jnp.float32)
+    acc0 = jnp.zeros((H, hd), jnp.float32)
     jax.lax.fori_loop(0, n_items, body, (m0, l0, acc0))
 
 
 def _interpret() -> bool:
+    # Compiled Mosaic kernels need real TPU hardware; CPU tests use the
+    # Pallas interpreter (same semantics, slow).
     return jax.default_backend() != "tpu"
 
 
@@ -168,44 +193,49 @@ def build_work_list(page_table, seq_lens, page_size: int):
             np.asarray(ft, np.int32), np.asarray([n_items], np.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("page_size",))
+@functools.partial(jax.jit, static_argnames=("page_size", "n_kv_heads"))
 def paged_attention_flat(q, k_pages, v_pages, flat_b, flat_page, flat_tok0,
-                         n_items, seq_lens, page_size: int = 128):
+                         n_items, seq_lens, page_size: int = 128,
+                         n_kv_heads: int | None = None):
     """q [B, H, hd] against one layer's paged K/V via a flat work list
-    (see build_work_list). Returns [B, H, hd]."""
+    (see build_work_list). k_pages AND v_pages are [P, hd, KH*ps].
+    Returns [B, H, hd]."""
     B, H, hd = q.shape
-    P, KH, _, ps = k_pages.shape
-    assert ps == page_size, (ps, page_size)
+    P, hd2, khps = k_pages.shape
+    assert hd2 == hd, (k_pages.shape, q.shape)
+    assert v_pages.shape == k_pages.shape, (v_pages.shape, k_pages.shape)
+    KH = n_kv_heads or khps // page_size
+    assert KH * page_size == khps, (KH, page_size, khps)
     kv_mul = H // KH
     max_items = flat_b.shape[0]
-
-    qg = q.reshape(B, KH, kv_mul, hd)
+    n_slots = _n_slots(hd * khps * k_pages.dtype.itemsize,
+                       khps * hd * v_pages.dtype.itemsize)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec((B, KH, kv_mul, hd), lambda *_: (0, 0, 0, 0)),
+            pl.BlockSpec((B, H, hd), lambda *_: (0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((B, KH, kv_mul, hd), lambda *_: (0, 0, 0, 0)),
+        out_specs=pl.BlockSpec((B, H, hd), lambda *_: (0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((N_SLOTS, KH, hd, ps), k_pages.dtype),
-            pltpu.VMEM((N_SLOTS, KH, hd, ps), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((N_SLOTS, 2)),
+            pltpu.VMEM((n_slots, hd, khps), k_pages.dtype),
+            pltpu.VMEM((n_slots, hd, khps), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((n_slots, 2)),
         ],
     )
     kernel = functools.partial(
-        _kernel, page_size=ps, n_kv_heads=KH, max_items=max_items
+        _kernel, page_size=page_size, n_kv_heads=KH, kv_mul=kv_mul,
+        max_items=max_items, n_slots=n_slots,
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, KH, kv_mul, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, hd), q.dtype),
         interpret=_interpret(),
-    )(flat_b, flat_page, flat_tok0, n_items, seq_lens, qg, k_pages, v_pages)
-    return out.reshape(B, H, hd)
+    )(flat_b, flat_page, flat_tok0, n_items, seq_lens, q, k_pages, v_pages)
 
 
 def paged_attention(q, k_pages, v_pages, page_table, seq_lens,

@@ -32,6 +32,8 @@ _RULES = [
     ("lm_head", P(None, MODEL_AXIS)),
     ("attn_norm", P(None, None)),
     ("ffn_norm", P(None, None)),
+    # fused (per-shard, fuse.fuse_params_sharded) before their prefixes
+    ("wqkv", _COL), ("w13", _COL), ("bqkv", P(None, MODEL_AXIS)),
     ("wq", _COL), ("wk", _COL), ("wv", _COL), ("w1", _COL), ("w3", _COL),
     ("wo", _ROW), ("w2", _ROW),
     ("bq", P(None, MODEL_AXIS)), ("bk", P(None, MODEL_AXIS)),
@@ -72,10 +74,14 @@ def validate_tp(cfg: ModelConfig, tp: int):
 
 
 def shard_params(params, mesh, cfg: ModelConfig):
-    """device_put a params pytree (numpy or device arrays) with TP shardings."""
+    """device_put a params pytree (numpy or device arrays) with TP shardings.
+
+    Takes UNFUSED params: a host-fused wqkv concatenates GLOBAL q|k|v
+    columns, and column-sharding that hands each shard a mix of q/k/v
+    columns from the wrong shards. To combine fusion with TP, shard first
+    and then fuse per shard with fuse.fuse_params_sharded."""
     assert "wqkv" not in params["blocks"], (
-        "shard unfused params; qkv/gate fusion (fuse.py) would interleave "
-        "q|k|v columns across shards incorrectly"
+        "shard unfused params, then fuse.fuse_params_sharded(sharded, mesh)"
     )
     validate_tp(cfg, mesh.shape[MODEL_AXIS])
     specs = param_pspec_tree(params)

@@ -9,6 +9,7 @@ layers (one compiled layer body instead of L unrolled copies).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -108,19 +109,35 @@ def random_params_device(
     group_size: int = 64,
     scale: float = 0.02,
 ) -> dict:
-    """Random params generated ON DEVICE (no host->device transfer — the
-    tunnel H2D path is slow; benches synthesize weights directly in HBM).
-    With quantize=True, matmul weights become QuantArray int8."""
-    key = jax.random.PRNGKey(seed)
+    """Random params generated ON DEVICE in ONE jit call (no host->device
+    transfer, and — critically through the high-latency axon tunnel — one
+    dispatch instead of one per tensor). With quantize=True, matmul weights
+    become QuantArray int8."""
+    return _random_params_jit(
+        jax.random.PRNGKey(seed), cfg, jnp.dtype(dtype).name, quantize,
+        group_size, scale,
+    )
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _random_params_jit(key, cfg, dtype_name, quantize, group_size, scale):
+    dtype = jnp.dtype(dtype_name)
     L, d, h, kv = cfg.n_layers, cfg.dim, cfg.hidden_dim, cfg.kv_dim
 
     keys = iter(jax.random.split(key, 16))
 
     def mat(*shape, quant=quantize):
-        w = jax.random.normal(next(keys), shape, jnp.float32) * scale
         if quant:
-            return quantize_q80(w, group_size)
-        return w.astype(dtype)
+            # synthesize int8 payload + scales directly: a normal->quantize
+            # round-trip materializes fp32 intermediates (a 7B synth would
+            # OOM a 16 GB chip); the bench compute is identical either way
+            q = jax.random.randint(next(keys), shape, -127, 128, jnp.int8)
+            ns = shape[:-2] + (shape[-2] // group_size, shape[-1])
+            s = jnp.full(ns, scale / 127.0, jnp.float32)
+            return QuantArray(q=q, s=s, group_size=group_size)
+        w = jax.random.normal(next(keys), shape, dtype) * jnp.asarray(
+            scale, dtype)
+        return w
 
     blocks = dict(
         attn_norm=jnp.ones((L, d), jnp.float32),

@@ -2,10 +2,11 @@
 
 The reference serves exactly one request with a hand-rolled loop
 (demo/main.cpp:5-75). This engine maintains a slot-per-request batch over a
-persistent KV cache: requests are admitted into free slots (prefill writes
-that slot's cache), all active slots decode together in scan chunks,
-finished rows retire and free their slot for the next queued request —
-decode never stops for admissions.
+persistent KV cache: requests are admitted into free slots, all active slots
+decode together in scan chunks, finished rows retire and free their slot for
+the next queued request. Admission cost is amortized: ALL requests admitted
+at a step boundary prefill in ONE batched forward (the round-1 engine ran a
+full prefill per queued request, serially, before every chunk).
 
 Two cache backends:
   Engine      — dense cache [L, max_batch, max_len, KH, hd] (simple, great
@@ -57,26 +58,35 @@ class Request:
         return self.finish_time > 0
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv_cache",))
-def _admit_prefill(cfg: ModelConfig, params, tokens, n_tokens, slot, kv_cache,
-                   rng, stop_ids):
-    """Prefill one request's [1, T] prompt into dense-cache slot `slot`.
+# sentinel slot for padding rows of a batched admit (scatters drop it)
+_PAD_SLOT = 2 ** 30
 
-    Returns (first_token [], done flag [], kv_cache).
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv_cache",))
+def _admit_prefill(cfg: ModelConfig, params, tokens, n_tokens, slots,
+                   kv_cache, rng, stop_ids):
+    """Batched prefill of admitted prompts into dense-cache slots.
+
+    tokens [Ba, T]; n_tokens [Ba]; slots [Ba] int32 (use _PAD_SLOT for
+    padding rows). Prefill runs on a fresh T-slot temp cache (a 7B-scale
+    engine cache is GBs; only rows x prompt-length is needed) and scatters
+    the rows into the persistent cache. Returns (first [Ba], done [Ba],
+    kv_cache).
     """
-    row_cache = dict(
-        k=jax.lax.dynamic_slice_in_dim(kv_cache["k"], slot, 1, axis=1),
-        v=jax.lax.dynamic_slice_in_dim(kv_cache["v"], slot, 1, axis=1),
+    Ba, T = tokens.shape
+    k = kv_cache["k"]  # [L, maxB, S, KH, hd]
+    L, _, _, KH, hd = k.shape
+    tmp = dict(
+        k=jnp.zeros((L, Ba, T, KH, hd), k.dtype),
+        v=jnp.zeros((L, Ba, T, KH, hd), k.dtype),
     )
-    last, row_cache = decoder.prefill(
-        cfg, params, tokens, row_cache, prompt_lens=n_tokens[None]
-    )
+    last, tmp = decoder.prefill(cfg, params, tokens, tmp, prompt_lens=n_tokens)
     kv_cache = dict(
-        k=jax.lax.dynamic_update_slice_in_dim(kv_cache["k"], row_cache["k"], slot, axis=1),
-        v=jax.lax.dynamic_update_slice_in_dim(kv_cache["v"], row_cache["v"], slot, axis=1),
+        k=kv_cache["k"].at[:, slots, :T].set(tmp["k"], mode="drop"),
+        v=kv_cache["v"].at[:, slots, :T].set(tmp["v"], mode="drop"),
     )
-    token = sample_token(last, rng)[0]
-    done = jnp.any(token == stop_ids)
+    token = sample_token(last, rng)
+    done = jnp.any(token[:, None] == stop_ids[None, :], axis=-1)
     return token, done, kv_cache
 
 
@@ -123,18 +133,30 @@ class Engine:
     def _can_admit(self, req: Request) -> bool:
         return True
 
-    def _prefill_slot(self, slot: int, toks: np.ndarray, n: int, rng):
+    def _reserve(self, slot: int, req: Request):
+        pass
+
+    def _prefill_batch(self, slots: np.ndarray, toks: np.ndarray,
+                       lens: np.ndarray, rng):
+        """One forward for the whole admit batch. Returns ([Ba] first tokens,
+        [Ba] done flags) as device arrays."""
         first, done, self.cache = _admit_prefill(
-            self.cfg, self.params, jnp.asarray(toks),
-            jnp.int32(n), jnp.int32(slot), self.cache, rng, self._stop_arr,
+            self.cfg, self.params, jnp.asarray(toks), jnp.asarray(lens),
+            jnp.asarray(slots), self.cache, rng, self._stop_arr,
         )
         return first, done
 
     def _run_chunk(self):
+        from .generate import _bucket_len
+
+        pos_np = np.asarray(self.pos)
+        live = max((int(pos_np[s]) for s in self.active), default=0)
+        active = min(_bucket_len(live + self.chunk + 1), self.max_len)
         toks, self.token, self.pos, self.cache, self.done, self.rng = decode_chunk(
             self.cfg, self.params, self.token, self.pos, self.cache,
             self.done, self.rng, self._stop_arr, steps=self.chunk,
             temperature=self.temperature, top_k=self.top_k, top_p=self.top_p,
+            active_len=active,
         )
         return toks
 
@@ -189,24 +211,45 @@ class Engine:
 
     def _admit(self):
         free = self._free_slots()
+        admits = []
         while self.queue and free and self._can_admit(self.queue[0]):
             req = self.queue.pop(0)
             slot = free.pop(0)
             n = len(req.prompt_ids)
             assert 1 <= n < self.max_len, (n, self.max_len)
-            T = min(_bucket(n), self.max_len)
-            toks = np.zeros((1, T), np.int32)
-            toks[0, :n] = req.prompt_ids
-            self.rng, sub = jax.random.split(self.rng)
-            first, done = self._prefill_slot(slot, toks, n, sub)
-            first_id = int(first)  # syncs the prefill
-            req.first_token_time = time.perf_counter()
-            self.token = self.token.at[slot].set(first)
-            self.pos = self.pos.at[slot].set(n)
-            self.done = self.done.at[slot].set(done)
+            self._reserve(slot, req)
+            admits.append((slot, req))
+        if not admits:
+            return
+        # one batched prefill for every admitted request; rows padded to a
+        # (batch, length) bucket to bound jit retraces
+        Ba = len(admits)
+        Bpad = min(_bucket(Ba, minimum=1), self.max_batch)
+        T = min(_bucket(max(len(r.prompt_ids) for _, r in admits)),
+                self.max_len)
+        toks = np.zeros((Bpad, T), np.int32)
+        lens = np.ones((Bpad,), np.int32)
+        slots = np.full((Bpad,), _PAD_SLOT, np.int32)
+        for i, (slot, req) in enumerate(admits):
+            n = len(req.prompt_ids)
+            toks[i, :n] = req.prompt_ids
+            lens[i] = n
+            slots[i] = slot
+        self.rng, sub = jax.random.split(self.rng)
+        first, done = self._prefill_batch(slots, toks, lens, sub)
+        first_np = np.asarray(first)  # syncs the prefill
+        done_np = np.asarray(done)
+        now = time.perf_counter()
+        real = jnp.asarray(slots[:Ba])
+        self.token = self.token.at[real].set(first[:Ba])
+        self.pos = self.pos.at[real].set(jnp.asarray(lens[:Ba]))
+        self.done = self.done.at[real].set(done[:Ba])
+        for i, (slot, req) in enumerate(admits):
+            req.first_token_time = now
             self.active[slot] = req
-            if first_id in self.stop_ids:
-                req.finish_time = time.perf_counter()
+            first_id = int(first_np[i])
+            if first_id in self.stop_ids or bool(done_np[i]):
+                req.finish_time = now
                 self._slot_budget[slot] = 0
             else:
                 req.out_ids.append(first_id)
@@ -249,11 +292,16 @@ class Engine:
 
 
 class PagedEngine(Engine):
-    """Continuous batching over a paged KV cache + flash-decode kernel."""
+    """Continuous batching over a paged KV cache + flash-decode kernel.
+
+    Pass `mesh` to run tensor-sharded (BASELINE configs[3]: weights + pages
+    sharded over the "model" ICI axis via parallel/sharded_paged.py; the
+    scheduler state stays host-global). Params may be an unsharded pytree —
+    they are device_put with TP shardings here."""
 
     def __init__(self, cfg: ModelConfig, params, tokenizer=None,
                  n_pages: Optional[int] = None, page_size: int = 128,
-                 **kw):
+                 mesh=None, **kw):
         from ..kvcache import PageAllocator, init_paged_cache
 
         self.page_size = page_size
@@ -264,6 +312,14 @@ class PagedEngine(Engine):
         self._n_pages = n_pages
         self._alloc_cls = PageAllocator
         self._init_paged = init_paged_cache
+        self.mesh = mesh
+        self._sharded = None
+        if mesh is not None:
+            from ..parallel.sharded_paged import ShardedPagedStep
+            from ..parallel.shardings import shard_params
+
+            params = shard_params(params, mesh, cfg)
+            self._sharded = ShardedPagedStep(cfg, mesh, params)
         super().__init__(cfg, params, tokenizer, **kw)
         self.allocator = PageAllocator(
             n_pages=n_pages, page_size=page_size,
@@ -276,32 +332,43 @@ class PagedEngine(Engine):
             dtype=self.cache_dtype,
         )
         self.k_pages, self.v_pages = cache.k_pages, cache.v_pages
+        if self._sharded is not None:
+            self.k_pages, self.v_pages = self._sharded.shard_pages(
+                self.k_pages, self.v_pages)
 
     def _can_admit(self, req: Request) -> bool:
         need = -(-len(req.prompt_ids) // self.page_size)
         return self.allocator.n_free_pages >= need
 
-    def _prefill_slot(self, slot: int, toks: np.ndarray, n: int, rng):
+    def _reserve(self, slot: int, req: Request):
+        ok = self.allocator.alloc_seq(slot, len(req.prompt_ids))
+        assert ok, "page allocator OOM on admission (checked by _can_admit)"
+
+    def _prefill_batch(self, slots: np.ndarray, toks: np.ndarray,
+                       lens: np.ndarray, rng):
         from ..models.paged import prefill_paged
 
-        ok = self.allocator.alloc_seq(slot, n)
-        assert ok, "page allocator OOM on admission (checked by _can_admit)"
-        T = toks.shape[1]
+        Ba, T = toks.shape
         ps = self.page_size
-        # OOB sentinel for padding rows: mode="drop" drops indices >= P,
-        # but NEGATIVE indices wrap pythonically and would corrupt pages
-        token_pages = np.full((T,), 2**30, np.int32)
-        token_offs = np.zeros((T,), np.int32)
-        for p in range(n):
-            token_pages[p] = self.allocator.page_table[slot, p // ps]
-            token_offs[p] = p % ps
-        last, self.k_pages, self.v_pages = prefill_paged(
-            self.cfg, self.params, jnp.asarray(toks), jnp.int32(n),
+        # OOB sentinel for padding rows/positions: mode="drop" drops indices
+        # >= P, but NEGATIVE indices wrap pythonically and would corrupt pages
+        token_pages = np.full((Ba, T), 2**30, np.int32)
+        token_offs = np.zeros((Ba, T), np.int32)
+        for i in range(Ba):
+            if slots[i] == _PAD_SLOT:
+                continue
+            for p in range(int(lens[i])):
+                token_pages[i, p] = self.allocator.page_table[slots[i], p // ps]
+                token_offs[i, p] = p % ps
+        prefill_fn = (self._sharded.prefill if self._sharded is not None
+                      else prefill_paged)
+        last, self.k_pages, self.v_pages = prefill_fn(
+            self.cfg, self.params, jnp.asarray(toks), jnp.asarray(lens),
             self.k_pages, self.v_pages,
             jnp.asarray(token_pages), jnp.asarray(token_offs),
         )
-        token = sample_token(last, rng)[0]
-        done = jnp.any(token == self._stop_arr)
+        token = sample_token(last, rng)
+        done = jnp.any(token[:, None] == self._stop_arr[None, :], axis=-1)
         return token, done
 
     def _run_chunk(self):
@@ -317,8 +384,10 @@ class PagedEngine(Engine):
         fb, fp, ft, n_items = build_work_list(
             self.allocator.page_table, self.allocator.seq_lens, self.page_size
         )
+        decode_fn = (self._sharded.decode_chunk if self._sharded is not None
+                     else decode_chunk_paged)
         (toks, self.token, self.pos, self.k_pages, self.v_pages,
-         self.done, self.rng) = decode_chunk_paged(
+         self.done, self.rng) = decode_fn(
             self.cfg, self.params, self.token, self.pos,
             self.k_pages, self.v_pages, self.done, self.rng, self._stop_arr,
             jnp.asarray(self.allocator.page_table),

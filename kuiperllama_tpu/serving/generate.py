@@ -43,26 +43,47 @@ def _stop_array(stop_ids) -> jnp.ndarray:
     return jnp.asarray(arr)
 
 
+def _bucket_len(n: int, quantum: int = 256) -> int:
+    return -(-n // quantum) * quantum
+
+
 @partial(
     jax.jit,
     static_argnames=("cfg", "steps", "temperature", "top_k", "top_p",
-                     "forward_fn"),
+                     "forward_fn", "active_len"),
     donate_argnames=("kv_cache",),
 )
 def decode_chunk(cfg: ModelConfig, params, token, pos, kv_cache, done, rng,
                  stop_ids, steps: int, temperature: float = 0.0,
-                 top_k: int = 0, top_p: float = 1.0, forward_fn=None):
+                 top_k: int = 0, top_p: float = 1.0, forward_fn=None,
+                 active_len: int = 0):
     """Run `steps` decode iterations on device.
 
     token: [B] int32 current token; pos: [B] int32 its position.
     done:  [B] bool rows already finished (their cache/pos stay frozen).
+    active_len: static cap on the cache slots the attention reads this chunk
+      (0 = all). Dense attention reads the WHOLE allocated cache every step
+      (XLA cannot know only 0..pos is live — masking happens after the read);
+      at Llama-2-7B geometry a 2048-slot bf16 cache is 4.3 GB/step of HBM
+      traffic against 7 GB of weights. Callers pass a bucketed
+      max(pos)+steps+1 so early decode reads only what exists; the chunk
+      slices the cache once, scans, and writes the slice back (donated, so
+      the full buffer updates in place).
     Returns (tokens [B, steps], token, pos, kv_cache, done, rng).
     Emitted tokens after a row finishes repeat the stop token.
     """
+    S = kv_cache["k"].shape[2]
+    sliced = bool(active_len) and active_len < S
+    cache = kv_cache
+    if sliced:
+        cache = dict(
+            k=jax.lax.slice_in_dim(kv_cache["k"], 0, active_len, axis=2),
+            v=jax.lax.slice_in_dim(kv_cache["v"], 0, active_len, axis=2),
+        )
 
     def step(carry, _):
-        token, pos, kv_cache, done, rng = carry
-        logits, new_cache = decoder.decode_step(cfg, params, token, pos, kv_cache,
+        token, pos, cache, done, rng = carry
+        logits, new_cache = decoder.decode_step(cfg, params, token, pos, cache,
                                                 forward_fn=forward_fn)
         rng, sub = jax.random.split(rng)
         nxt = sample_token(logits, sub, temperature, top_k, top_p)
@@ -74,9 +95,18 @@ def decode_chunk(cfg: ModelConfig, params, token, pos, kv_cache, done, rng,
         new_pos = jnp.where(done, pos, pos + 1)
         return (nxt, new_pos, new_cache, new_done, rng), nxt
 
-    (token, pos, kv_cache, done, rng), toks = jax.lax.scan(
-        step, (token, pos, kv_cache, done, rng), length=steps
+    (token, pos, cache, done, rng), toks = jax.lax.scan(
+        step, (token, pos, cache, done, rng), length=steps
     )
+    if sliced:
+        kv_cache = dict(
+            k=jax.lax.dynamic_update_slice_in_dim(
+                kv_cache["k"], cache["k"], 0, axis=2),
+            v=jax.lax.dynamic_update_slice_in_dim(
+                kv_cache["v"], cache["v"], 0, axis=2),
+        )
+    else:
+        kv_cache = cache
     return jnp.transpose(toks), token, pos, kv_cache, done, rng
 
 
@@ -154,13 +184,16 @@ class Generator:
         budget = min(max_new_tokens, limit - max(lens)) - 1
         out = [[int(first[i])] for i in range(B)]
         emitted = 1
+        max_pos = max(lens)
         while budget > 0 and not bool(np.asarray(done).all()):
             steps = min(self.chunk, budget)
+            active = min(_bucket_len(max_pos + steps + 1), self.cache_len)
             toks, token, pos, cache, done, rng = decode_chunk(
                 cfg, self.params, token, pos, cache, done, rng, stop_arr,
                 steps=steps, temperature=temperature, top_k=top_k, top_p=top_p,
-                forward_fn=self.forward_fn,
+                forward_fn=self.forward_fn, active_len=active,
             )
+            max_pos += steps
             toks_np = np.asarray(toks)
             for i in range(B):
                 out[i].extend(int(t) for t in toks_np[i])

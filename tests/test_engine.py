@@ -84,6 +84,35 @@ def test_paged_engine_matches_dense(model):
     assert g == w
 
 
+@pytest.mark.parametrize("backend", ["dense", "paged"])
+def test_admission_is_batched(model, backend):
+    """All requests admitted at a step boundary must prefill in ONE forward
+    (round-1 ran a serial prefill per request, stalling decode), and decode
+    must progress while further requests wait in the queue."""
+    from kuiperllama_tpu.serving.engine import PagedEngine
+
+    cfg, params = model
+    cls = Engine if backend == "dense" else PagedEngine
+    eng = cls(cfg, params, max_batch=4, max_len=64, chunk=4,
+              cache_dtype=jnp.float32)
+    calls = []
+    orig = eng._prefill_batch
+    eng._prefill_batch = lambda slots, toks, lens, rng: (
+        calls.append(len([s for s in slots if s < eng.max_batch]))
+        or orig(slots, toks, lens, rng))
+    # 6 requests, 4 slots: step 1 admits 4 in one prefill; the next admits
+    # happen only when slots free up, while earlier rows keep decoding
+    reqs = [Request(prompt_ids=[i + 1, i + 2], max_new_tokens=6)
+            for i in range(6)]
+    done = eng.run(reqs)
+    assert len(done) == 6
+    assert calls[0] == 4, calls  # first admission batch covers all 4 slots
+    assert sum(calls) == 6 and len(calls) >= 2
+    # decode progressed between the two admission waves
+    first_wave = [r for r in done[:4]]
+    assert all(len(r.out_ids) == 6 for r in first_wave)
+
+
 def test_paged_engine_page_recycling(model):
     from kuiperllama_tpu.serving.engine import PagedEngine
 

@@ -41,19 +41,50 @@ def test_paged_matches_dense(rng, lens, kv_mul):
     v_all = rng.standard_normal((B, S, KH, hd)).astype(np.float32)
 
     # build page pool: sequential pages per sequence
+    # (layout per kvcache.py: k AND v are [P, hd, KH*ps])
     n_pages = B * max_pages + 1
-    k_pages = np.zeros((n_pages, KH, hd, ps), np.float32)
-    v_pages = np.zeros((n_pages, KH, hd, ps), np.float32)
+    k_pages = np.zeros((n_pages, hd, KH * ps), np.float32)
+    v_pages = np.zeros((n_pages, hd, KH * ps), np.float32)
     page_table = np.zeros((B, max_pages), np.int32)
     for b in range(B):
         for pi in range(max_pages):
             page = 1 + b * max_pages + pi  # page 0 left as garbage guard
             page_table[b, pi] = page
             chunk = k_all[b, pi * ps:(pi + 1) * ps]  # [ps, KH, hd]
-            k_pages[page] = np.transpose(chunk, (1, 2, 0))
+            k_pages[page] = np.transpose(chunk, (2, 1, 0)).reshape(hd, KH * ps)
             v_pages[page] = np.transpose(
-                v_all[b, pi * ps:(pi + 1) * ps], (1, 2, 0))
+                v_all[b, pi * ps:(pi + 1) * ps], (2, 1, 0)).reshape(hd, KH * ps)
 
+    seq_lens = np.asarray(lens, np.int32)
+    got = np.asarray(paged_attention(
+        jnp.asarray(q), jnp.asarray(k_pages), jnp.asarray(v_pages),
+        jnp.asarray(page_table), jnp.asarray(seq_lens), page_size=ps,
+    ))
+    want = _dense_oracle(jnp.asarray(q), k_all, v_all, jnp.asarray(seq_lens))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_paged_mha_7b_geometry(rng):
+    """MHA shape class (kv_mul=1, hd=128 — Llama-2-7B is KH=32): one query
+    head per kv head exercises the block-diagonal mask at its widest."""
+    ps, KH, hd = 128, 8, 128
+    B, S = 2, 256
+    lens = [200, 129]
+    q = rng.standard_normal((B, KH, hd)).astype(np.float32)
+    k_all = rng.standard_normal((B, S, KH, hd)).astype(np.float32)
+    v_all = rng.standard_normal((B, S, KH, hd)).astype(np.float32)
+    max_pages = S // ps
+    k_pages = np.zeros((B * max_pages + 1, hd, KH * ps), np.float32)
+    v_pages = np.zeros((B * max_pages + 1, hd, KH * ps), np.float32)
+    page_table = np.zeros((B, max_pages), np.int32)
+    for b in range(B):
+        for pi in range(max_pages):
+            page = 1 + b * max_pages + pi
+            page_table[b, pi] = page
+            chunk = k_all[b, pi * ps:(pi + 1) * ps]
+            k_pages[page] = np.transpose(chunk, (2, 1, 0)).reshape(hd, KH * ps)
+            v_pages[page] = np.transpose(
+                v_all[b, pi * ps:(pi + 1) * ps], (2, 1, 0)).reshape(hd, KH * ps)
     seq_lens = np.asarray(lens, np.int32)
     got = np.asarray(paged_attention(
         jnp.asarray(q), jnp.asarray(k_pages), jnp.asarray(v_pages),
@@ -92,10 +123,13 @@ def test_write_tokens_paged(rng):
     offs = np.asarray([[2, 3, 0], [0, 1, 2]], np.int32)
     cache = write_tokens_paged(cache, jnp.asarray(k_new), jnp.asarray(v_new),
                                jnp.asarray(pages), jnp.asarray(offs))
-    kp = np.asarray(cache.k_pages)  # [L, P, KH, hd, ps]
-    np.testing.assert_allclose(kp[:, 1, :, :, 2], k_new[:, 0, 0], rtol=1e-6)
-    np.testing.assert_allclose(kp[:, 1, :, :, 3], k_new[:, 0, 1], rtol=1e-6)
-    np.testing.assert_allclose(kp[:, 2, :, :, 0], k_new[:, 0, 2], rtol=1e-6)
-    np.testing.assert_allclose(kp[:, 5, :, :, 1], k_new[:, 1, 1], rtol=1e-6)
-    vp = np.asarray(cache.v_pages)
-    np.testing.assert_allclose(vp[:, 5, :, :, 2], v_new[:, 1, 2], rtol=1e-6)
+    # k/v [L, P, hd, KH*ps]: token (page, off) of kv head h at lane h*ps+off
+    kp = np.asarray(cache.k_pages).reshape(L, 6, hd, KH, ps)
+    def at(pool, page, off):  # -> [L, KH, hd]
+        return np.transpose(pool[:, page, :, :, off], (0, 2, 1))
+    np.testing.assert_allclose(at(kp, 1, 2), k_new[:, 0, 0], rtol=1e-6)
+    np.testing.assert_allclose(at(kp, 1, 3), k_new[:, 0, 1], rtol=1e-6)
+    np.testing.assert_allclose(at(kp, 2, 0), k_new[:, 0, 2], rtol=1e-6)
+    np.testing.assert_allclose(at(kp, 5, 1), k_new[:, 1, 1], rtol=1e-6)
+    vp = np.asarray(cache.v_pages).reshape(L, 6, hd, KH, ps)
+    np.testing.assert_allclose(at(vp, 5, 2), v_new[:, 1, 2], rtol=1e-6)

@@ -99,6 +99,37 @@ def test_sharded_decode_steps():
         pos = pos + 1
 
 
+@pytest.mark.parametrize("quant", [False, True], ids=["fp32", "int8"])
+def test_fused_after_sharding_matches_single(quant):
+    """TP + weight fusion together (round 1 rejected fused trees from TP):
+    shard first, fuse per shard, logits must match the unfused single-device
+    forward."""
+    from kuiperllama_tpu.fuse import fuse_params_sharded
+
+    cfg = tiny_config("llama2", n_heads=8, n_kv_heads=4, dim=128,
+                      hidden_dim=128, vocab_size=256, seq_len=64)
+    params = to_device(random_params(cfg, seed=3), dtype=jnp.float32)
+    if quant:
+        params = _quantize_tree(params)
+
+    B, T = 2, 5
+    rng = np.random.default_rng(7)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T), np.int32))
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    cache = decoder.init_kv_cache(cfg, batch=B, max_len=32)
+    ref_logits, _ = decoder.forward(cfg, params, tokens, positions, cache)
+
+    mesh = make_mesh(dp=1, tp=4)
+    sp = shard_params(params, mesh, cfg)
+    fused = fuse_params_sharded(sp, mesh)
+    assert "wqkv" in fused["blocks"] and "wq" not in fused["blocks"]
+    sharded = ShardedForward(cfg, mesh, fused)
+    scache = sharded.init_cache(batch=B, max_len=32)
+    logits, _ = sharded(cfg, fused, tokens, positions, scache)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               atol=2e-4, rtol=1e-4)
+
+
 def test_sharded_generator_matches_single():
     from kuiperllama_tpu.serving.generate import Generator
 
