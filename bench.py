@@ -22,6 +22,25 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 
 REFERENCE_TOKS_PER_S = 60.34  # /root/reference/readme.md:25
 
+# Measured on this chip by tools/roofline.py (fetch-based marginal timing):
+# best sustained weight-stream rate through the matmul path. The v5e paper
+# spec is 819 GB/s; decode tokens/s ceiling = this / bytes-touched-per-token.
+MEASURED_HBM_GBPS = 573.0
+SPEC_HBM_GBPS = 819.0
+
+
+def _streamed_bytes_per_token(params) -> int:
+    """HBM bytes a decode step must read: every weight (+quant scales)
+    except the embedding table (one row gathered per token)."""
+    import jax
+
+    from kuiperllama_tpu.params import param_bytes
+
+    total = param_bytes(params)
+    emb = params["tok_emb"]
+    total -= emb.size * emb.dtype.itemsize  # gathered, not streamed
+    return total
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -36,8 +55,18 @@ def main():
     ap.add_argument("--engine", action="store_true",
                     help="continuous-batching serving bench (paged KV cache)")
     ap.add_argument("--requests", type=int, default=16)
+    ap.add_argument("--selftest", action="store_true",
+                    help="run compiled Pallas kernels against the XLA "
+                         "oracles on-device and record max error")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
+    if args.engine and "--batch" not in sys.argv[1:] and not any(
+            a.startswith("--batch=") for a in sys.argv[1:]):
+        args.batch = 8  # serving slots; B=1 is a latency config, not serving
+
+    if args.selftest:
+        print(json.dumps(_selftest()))
+        return
 
     import jax
     import jax.numpy as jnp
@@ -86,12 +115,95 @@ def main():
                   f"decode {decode_s:.3f}s  {tps:.1f} tok/s", file=sys.stderr)
 
     quant = "fp" if args.fp else "int8"
+    bpt = _streamed_bytes_per_token(params)
+    roofline = MEASURED_HBM_GBPS * 1e9 / bpt * args.batch
     print(json.dumps({
         "metric": f"{args.model} {quant} decode tokens/s/chip (B={args.batch})",
         "value": round(best, 2),
         "unit": "tokens/s",
         "vs_baseline": round(best / REFERENCE_TOKS_PER_S, 2),
+        "weight_bytes_per_step": bpt,
+        "roofline_toks_measured_bw": round(roofline, 1),
+        "pct_of_roofline": round(100 * best / roofline, 1),
+        "pct_of_spec_bw_roofline": round(
+            100 * best / (roofline * SPEC_HBM_GBPS / MEASURED_HBM_GBPS), 1),
     }))
+
+
+def _selftest():
+    """Compiled (non-interpret) Pallas kernels vs the XLA oracles on this
+    device. The CI suite only ever exercises the interpreter (no TPU);
+    this records compiled-Mosaic numeric parity in the bench artifact."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kuiperllama_tpu.ops.attention import attention_dense
+    from kuiperllama_tpu.ops.linear import _quant_matmul_xla
+    from kuiperllama_tpu.ops.pallas.paged_attention import paged_attention
+    from kuiperllama_tpu.ops.pallas.quant_matmul import quant_matmul
+    from kuiperllama_tpu.quant import QuantArray
+
+    rng = np.random.default_rng(0)
+    out = {"metric": "pallas kernel selftest (compiled) max abs error",
+           "unit": "abs error", "backend": jax.default_backend()}
+
+    # fused dequant matmul, fast + exact modes, decode shape
+    K, N, M, g = 2048, 1024, 8, 64
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+    w = QuantArray(
+        q=jnp.asarray(rng.integers(-127, 128, (K, N)), jnp.int8),
+        s=jnp.asarray(rng.uniform(0.005, 0.02, (K // g, N)), jnp.float32),
+        group_size=g,
+    )
+    want = np.asarray(_quant_matmul_xla(x.astype(jnp.float32), w))
+    got_fast = np.asarray(quant_matmul(x, w, mode="fast")).astype(np.float32)
+    got_exact = np.asarray(
+        quant_matmul(x.astype(jnp.float32), w, mode="exact"))
+    denom = np.maximum(np.abs(want).max(), 1e-6)
+    out["quant_matmul_fast_rel_err"] = float(
+        np.abs(got_fast - want).max() / denom)
+    out["quant_matmul_exact_rel_err"] = float(
+        np.abs(got_exact - want).max() / denom)
+
+    # paged flash-decode attention vs dense oracle (GQA + MHA geometry)
+    for tag, (KH, kv_mul, hd) in {"gqa": (4, 8, 64), "mha": (8, 1, 128)}.items():
+        ps, B, S = 128, 2, 256
+        H = KH * kv_mul
+        lens = [200, 129]
+        q = rng.standard_normal((B, H, hd)).astype(np.float32)
+        k_all = rng.standard_normal((B, S, KH, hd)).astype(np.float32)
+        v_all = rng.standard_normal((B, S, KH, hd)).astype(np.float32)
+        mp = S // ps
+        kp = np.zeros((B * mp + 1, hd, KH * ps), np.float32)
+        vp = np.zeros((B * mp + 1, hd, KH * ps), np.float32)
+        pt = np.zeros((B, mp), np.int32)
+        for b in range(B):
+            for pi in range(mp):
+                page = 1 + b * mp + pi
+                pt[b, pi] = page
+                kp[page] = np.transpose(
+                    k_all[b, pi * ps:(pi + 1) * ps], (2, 1, 0)
+                ).reshape(hd, KH * ps)
+                vp[page] = np.transpose(
+                    v_all[b, pi * ps:(pi + 1) * ps], (2, 1, 0)
+                ).reshape(hd, KH * ps)
+        sl = np.asarray(lens, np.int32)
+        got = np.asarray(paged_attention(
+            jnp.asarray(q), jnp.asarray(kp), jnp.asarray(vp),
+            jnp.asarray(pt), jnp.asarray(sl), page_size=ps))
+        positions = (sl - 1)[:, None].astype(np.int32)
+        mask = np.arange(S)[None, :] < sl[:, None]
+        want = np.asarray(attention_dense(
+            jnp.asarray(q[:, None]), jnp.asarray(k_all), jnp.asarray(v_all),
+            jnp.asarray(positions), kv_len_mask=jnp.asarray(mask)))[:, 0]
+        out[f"paged_attention_{tag}_abs_err"] = float(
+            np.abs(got - want).max())
+
+    out["value"] = max(out["quant_matmul_exact_rel_err"],
+                       out["paged_attention_mha_abs_err"])
+    out["vs_baseline"] = 0.0
+    return out
 
 
 def _bench_engine(args, cfg, params):

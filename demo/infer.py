@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--cache-len", type=int, default=None)
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--stream", action="store_true",
+                    help="print tokens as decode chunks land instead of "
+                         "at the end")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -64,6 +67,35 @@ def main():
           f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
 
     gen = Generator(cfg, params, tok, cache_len=args.cache_len)
+    if args.stream:
+        # incremental printing: decode each token as its chunk lands
+        state = {"prev": -1, "stopped": False}
+        sys.stdout.write(args.prompt)
+        sys.stdout.flush()
+
+        def on_chunk(block):
+            if state["stopped"]:
+                return
+            for t in block[0]:
+                t = int(t)
+                if tok.is_stop(t):
+                    state["stopped"] = True
+                    break
+                sys.stdout.write(tok.decode_token(t, state["prev"]))
+                state["prev"] = t
+            sys.stdout.flush()
+
+        ids, prefill_s, decode_s = gen.generate_batch_ids(
+            [tok.encode(args.prompt)], max_new_tokens=args.steps,
+            temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+            stop_ids=tok.stop_ids, on_chunk=on_chunk,
+        )
+        print()
+        n = len(ids[0])
+        print(f"\nsteps: {n}  prefill: {prefill_s * 1e3:.0f} ms  "
+              f"decode: {decode_s:.2f} s  steps/s: {n / decode_s:.2f}",
+              file=sys.stderr)
+        return
     res = gen.generate(
         args.prompt, max_new_tokens=args.steps,
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,

@@ -147,8 +147,14 @@ class Generator:
         top_p: float = 1.0,
         seed: int = 0,
         stop_ids=frozenset(),
+        on_chunk=None,
     ):
-        """Batched generation. Returns (list of id-lists, prefill_s, decode_s)."""
+        """Batched generation. Returns (list of id-lists, prefill_s, decode_s).
+
+        on_chunk: optional callback invoked with the raw [B, n] numpy token
+        block as each decode chunk lands on host (streaming UIs; tokens
+        after a row's stop token repeat and must be truncated by the
+        consumer — the returned lists are already truncated)."""
         cfg = self.cfg
         B = len(prompts)
         lens = [len(p) for p in prompts]
@@ -179,6 +185,8 @@ class Generator:
         done = jnp.any(token[:, None] == stop_arr[None, :], axis=-1)
         first = np.asarray(token)  # host copy; also syncs prefill
         t1 = time.perf_counter()
+        if on_chunk is not None:
+            on_chunk(first[:, None])
 
         pos = jnp.asarray(lens, jnp.int32)
         budget = min(max_new_tokens, limit - max(lens)) - 1
@@ -195,6 +203,8 @@ class Generator:
             )
             max_pos += steps
             toks_np = np.asarray(toks)
+            if on_chunk is not None:
+                on_chunk(toks_np)
             for i in range(B):
                 out[i].extend(int(t) for t in toks_np[i])
             budget -= steps

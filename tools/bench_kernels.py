@@ -36,24 +36,29 @@ def time_fetch(fn, *args, reps=4):
     return best
 
 
-def bench_quant_shape(K, N, M, group_size=64, n_bufs=2, lo=8, hi=24,
+def bench_quant_shape(K, N, M, group_size=64, lo=8, hi=40,
                       block_out=512, block_in=2048):
+    """One weight buffer, x varies per iteration (no CSE possible; TPUs have
+    no cache between HBM and VMEM, so re-reading the same weight measures
+    true stream bandwidth — rotating buffers via dynamic_index would force a
+    copy of the weight before every pallas_call and poison the number)."""
     from kuiperllama_tpu.ops.pallas.quant_matmul import _quant_matmul_2d
 
     key = jax.random.PRNGKey(0)
-    q = jax.random.randint(key, (n_bufs, K, N), -127, 128, jnp.int8)
-    s = jnp.full((n_bufs, K // group_size, N), 1e-3, jnp.float32)
+    q = jax.random.randint(key, (K, N), -127, 128, jnp.int8)
+    s = jnp.full((K // group_size, N), 1e-3, jnp.float32)
     x = jnp.ones((M, K), jnp.bfloat16)
 
     def mk(reps):
         @jax.jit
         def f(x, q, s):
             def body(i, x):
-                j = lax.rem(i, n_bufs)
                 o = _quant_matmul_2d(
-                    x, q[j], s[j], group_size,
+                    x, q, s, group_size,
                     block_out=block_out, block_in=block_in)
-                return (o[:, :K] * 1e-3).astype(x.dtype)
+                # fold the [M, N] output back into a [M, K] carry
+                o = jnp.tile(o, (1, -(-K // N)))[:, :K]
+                return (o * 1e-3).astype(x.dtype)
             return lax.fori_loop(0, reps, body, x)
         return f
 

@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Tensor-parallel scaling harness (BASELINE >=85% 2-host gate prep).
+
+Runs the sharded decode step at tp in {1, 2, 4, 8} on whatever devices
+exist (a virtual 8-device CPU mesh by default — the TPU answer to testing
+multi-chip without a pod) and reports, per tp:
+
+  * measured per-decode-step wall time (relative only on CPU),
+  * the ANALYTIC per-step communication bill — collective count and bytes
+    (these are exact from the program structure: 2 psums of [B, T, dim]
+    per layer after the row-parallel wo/w2, one [B, T, vocab/tp -> vocab]
+    logits all-gather), and per-chip HBM weight bytes (streamed/tp),
+  * a projected ICI-bound scaling efficiency for a v5e slice
+    (weight-stream time / (weight-stream time + collective time) with
+    per-link ~45 GB/s ICI and ~1 us collective hop latency).
+
+    python tools/scaling.py [--model tinyllama-1.1b] [--json-out F]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+
+if __name__ == "__main__" and "--tpu" not in sys.argv:
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+else:
+    import jax
+
+import jax.numpy as jnp
+import numpy as np
+
+ICI_GBPS = 45.0        # v5e per-link, per-direction
+ICI_HOP_US = 1.0
+HBM_GBPS = 573.0       # measured, tools/roofline.py
+
+
+def measure_tp(cfg, params_np, tp: int, steps: int = 8):
+    from kuiperllama_tpu.models import decoder
+    from kuiperllama_tpu.params import to_device
+    from kuiperllama_tpu.parallel.mesh import make_mesh
+    from kuiperllama_tpu.parallel.sharded import ShardedForward
+    from kuiperllama_tpu.parallel.shardings import shard_params
+
+    params = to_device(params_np, dtype=jnp.float32)
+    B = 2
+    tok = jnp.zeros((B,), jnp.int32)
+    pos = jnp.full((B,), 3, jnp.int32)
+
+    if tp == 1:
+        cache = decoder.init_kv_cache(cfg, batch=B, max_len=32)
+        fwd = None
+        sp = params
+    else:
+        mesh = make_mesh(dp=1, tp=tp)
+        fwd = ShardedForward(cfg, mesh, params)
+        sp = shard_params(params, mesh, cfg)
+        cache = fwd.init_cache(batch=B, max_len=32)
+
+    def run_steps(tok, pos, cache):
+        for _ in range(steps):
+            logits, cache = decoder.decode_step(cfg, sp, tok, pos, cache,
+                                                forward_fn=fwd)
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            pos = pos + 1
+        return tok, cache
+
+    t, c = run_steps(tok, pos, cache)  # warm (compile)
+    jax.block_until_ready(t)
+    best = 1e30
+    for _ in range(3):
+        t0 = time.perf_counter()
+        t, c = run_steps(tok, pos, cache)
+        _ = np.asarray(t)  # force completion with a fetch
+        best = min(best, time.perf_counter() - t0)
+    return best / steps
+
+
+def analytic(cfg, tp: int, B: int = 2, weight_bytes: int = 0):
+    """Exact per-decode-step collective bill + v5e projection."""
+    psum_bytes = 2 * cfg.n_layers * B * cfg.dim * 4       # wo + w2, fp32
+    ag_bytes = B * cfg.vocab_size * 4                     # logits all-gather
+    n_coll = 2 * cfg.n_layers + 1
+    if tp == 1:
+        coll_s = 0.0
+    else:
+        # ring all-reduce moves 2*(tp-1)/tp of the payload per chip;
+        # all-gather moves (tp-1)/tp
+        wire = psum_bytes * 2 * (tp - 1) / tp + ag_bytes * (tp - 1) / tp
+        coll_s = wire / (ICI_GBPS * 1e9) + n_coll * ICI_HOP_US * 1e-6
+    stream_s = (weight_bytes / tp) / (HBM_GBPS * 1e9)
+    eff = stream_s / (stream_s + coll_s) if tp > 1 else 1.0
+    return dict(
+        collectives_per_step=n_coll if tp > 1 else 0,
+        psum_bytes=psum_bytes, all_gather_bytes=ag_bytes,
+        weight_bytes_per_chip=weight_bytes // tp,
+        projected_step_ms_v5e=round((stream_s + coll_s) * 1e3, 3),
+        projected_scaling_eff=round(eff, 3),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default=None,
+                    help="preset name; default = a tiny test config")
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--json-out")
+    ap.add_argument("--tpu", action="store_true",
+                    help="use real devices instead of the virtual CPU mesh")
+    args = ap.parse_args()
+
+    from kuiperllama_tpu.config import preset_config, tiny_config
+    from kuiperllama_tpu.params import random_params
+
+    if args.model:
+        cfg = preset_config(args.model, seq_len=64)
+        proj_cfg = cfg
+    else:
+        cfg = tiny_config("llama2", n_heads=8, n_kv_heads=8, dim=128,
+                          hidden_dim=256, vocab_size=512, seq_len=64)
+        # analytic projection uses the 7B shape even when the measured mesh
+        # runs the tiny model (CPU memory)
+        proj_cfg = preset_config("llama2-7b")
+    params_np = random_params(cfg, seed=0)
+
+    w7b = 0
+    d, h, kv, V, L = (proj_cfg.dim, proj_cfg.hidden_dim, proj_cfg.kv_dim,
+                      proj_cfg.vocab_size, proj_cfg.n_layers)
+    mats = L * (2 * d * d + 2 * d * kv + 3 * d * h) + d * V
+    w7b = mats + (mats // 64) * 4  # int8 + fp32 scales
+
+    rows = []
+    base = None
+    for tp in (1, 2, 4, 8):
+        if cfg.n_kv_heads % tp or cfg.vocab_size % tp:
+            continue
+        step_s = measure_tp(cfg, params_np, tp, steps=args.steps)
+        row = dict(tp=tp, measured_step_ms=round(step_s * 1e3, 2))
+        row.update(analytic(proj_cfg, tp, weight_bytes=w7b))
+        if base is None:
+            base = step_s
+        row["measured_rel_speedup"] = round(base / step_s, 2)
+        rows.append(row)
+        print(json.dumps(row), file=sys.stderr)
+
+    out = dict(
+        devices=str(jax.devices()[0].device_kind),
+        n_devices=jax.device_count(),
+        measured_model=args.model or "tiny",
+        projection_model="llama2-7b int8",
+        ici_GBps=ICI_GBPS, hbm_GBps=HBM_GBPS,
+        rows=rows,
+    )
+    s = json.dumps(out, indent=2)
+    print(s)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            f.write(s + "\n")
+
+
+if __name__ == "__main__":
+    main()
