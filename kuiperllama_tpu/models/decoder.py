@@ -31,7 +31,7 @@ from jax import lax
 
 from ..config import ModelConfig
 from ..ops.attention import attention_dense
-from ..ops.linear import linear
+from ..ops.linear import linear, linear_layered
 from ..ops.rmsnorm import rmsnorm
 from ..ops.rope import apply_rope, gather_rope, rope_cache
 
@@ -77,30 +77,36 @@ def forward_inner(cfg: ModelConfig, params, tokens, positions, kv_cache,
     def maybe_psum(v):
         return lax.psum(v, tp_axis) if tp_axis else v
 
-    def layer_body(carry, scanned):
+    blocks = params["blocks"]
+
+    def layer_body(carry, layer_idx):
         # cache rides in the CARRY (not xs/ys): xs/ys would hold two full
         # [L, ...] cache buffers alive through the scan; a donated carry
         # updated with dynamic_update_index aliases in place.
+        # Weights are NOT scanned over: scan xs would dynamic-slice every
+        # layer's weights into a fresh buffer before each Pallas call
+        # (custom-call operands can't fuse a slice) — the stacked arrays
+        # stay whole and linear_layered indexes the layer inside the kernel.
         x, k_all, v_all = carry
-        blk, layer_idx = scanned
         k_cache = lax.dynamic_index_in_dim(k_all, layer_idx, 0, keepdims=False)
         v_cache = lax.dynamic_index_in_dim(v_all, layer_idx, 0, keepdims=False)
-        h = rmsnorm(x, blk["attn_norm"], cfg.norm_eps)
+        li = layer_idx
+        h = rmsnorm(x, blocks["attn_norm"][li], cfg.norm_eps)
         # local (possibly sharded) head counts from the weight shapes;
         # "wqkv"/"w13" are the fused variants (fuse.py) — one kernel call
-        if "wqkv" in blk:
-            H = blk["wo"].shape[-2] // hd
-            KH = (blk["wqkv"].shape[-1] - H * hd) // (2 * hd)
-            qkv = linear(h, blk["wqkv"], blk.get("bqkv"))
+        if "wqkv" in blocks:
+            H = blocks["wo"].shape[-2] // hd
+            KH = (blocks["wqkv"].shape[-1] - H * hd) // (2 * hd)
+            qkv = linear_layered(h, blocks["wqkv"], li, blocks.get("bqkv"))
             q = qkv[..., : H * hd]
             k = qkv[..., H * hd : (H + KH) * hd]
             v = qkv[..., (H + KH) * hd :]
         else:
-            H = blk["wq"].shape[-1] // hd
-            KH = blk["wk"].shape[-1] // hd
-            q = linear(h, blk["wq"], blk.get("bq"))
-            k = linear(h, blk["wk"], blk.get("bk"))
-            v = linear(h, blk["wv"], blk.get("bv"))
+            H = blocks["wq"].shape[-1] // hd
+            KH = blocks["wk"].shape[-1] // hd
+            q = linear_layered(h, blocks["wq"], li, blocks.get("bq"))
+            k = linear_layered(h, blocks["wk"], li, blocks.get("bk"))
+            v = linear_layered(h, blocks["wv"], li, blocks.get("bv"))
         q = q.reshape(B, T, H, hd)
         k = k.reshape(B, T, KH, hd)
         v = v.reshape(B, T, KH, hd)
@@ -113,27 +119,27 @@ def forward_inner(cfg: ModelConfig, params, tokens, positions, kv_cache,
         v_cache = v_cache.at[b_idx, positions].set(v.astype(v_cache.dtype))
 
         attn = attention_dense(q, k_cache, v_cache, positions, kv_len_mask)
-        x = x + maybe_psum(linear(attn.reshape(B, T, H * hd), blk["wo"]))
+        x = x + maybe_psum(
+            linear_layered(attn.reshape(B, T, H * hd), blocks["wo"], li))
 
-        h = rmsnorm(x, blk["ffn_norm"], cfg.norm_eps)
-        if "w13" in blk:
-            hidden = blk["w2"].shape[-2]
-            g13 = linear(h, blk["w13"])
+        h = rmsnorm(x, blocks["ffn_norm"][li], cfg.norm_eps)
+        if "w13" in blocks:
+            hidden = blocks["w2"].shape[-2]
+            g13 = linear_layered(h, blocks["w13"], li)
             gate, up = g13[..., :hidden], g13[..., hidden:]
         else:
-            gate = linear(h, blk["w1"])
-            up = linear(h, blk["w3"])
+            gate = linear_layered(h, blocks["w1"], li)
+            up = linear_layered(h, blocks["w3"], li)
         act = (gate.astype(jnp.float32) * jax.nn.sigmoid(gate.astype(jnp.float32))
                ).astype(x.dtype) * up
-        x = x + maybe_psum(linear(act, blk["w2"]))
+        x = x + maybe_psum(linear_layered(act, blocks["w2"], li))
         k_all = lax.dynamic_update_index_in_dim(k_all, k_cache, layer_idx, 0)
         v_all = lax.dynamic_update_index_in_dim(v_all, v_cache, layer_idx, 0)
         return (x, k_all, v_all), None
 
     layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
     (x, new_k, new_v), _ = lax.scan(
-        layer_body, (x, kv_cache["k"], kv_cache["v"]),
-        (params["blocks"], layer_ids),
+        layer_body, (x, kv_cache["k"], kv_cache["v"]), layer_ids,
     )
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     logits = linear(x, params["lm_head"]).astype(jnp.float32)

@@ -23,53 +23,62 @@ from jax import lax
 
 from ..config import ModelConfig
 from ..ops.attention import attention_dense
-from ..ops.linear import linear
+from ..ops.linear import linear, linear_layered
 from ..ops.pallas.paged_attention import paged_attention_flat
 from ..ops.rmsnorm import rmsnorm
 from ..ops.rope import apply_rope, gather_rope
 from ..ops.sampling import sample_token
 from .decoder import build_rope
 
+# Weights stay STACKED through the layer scan (see models/decoder.py:
+# slicing a stacked weight before a pallas_call materializes a copy of the
+# whole layer's weights — decode's HBM budget); linear_layered indexes the
+# layer inside the kernel.
 
-def _qkv(cfg, blk, x, s, c, B, T):
+
+def _qkv(cfg, blocks, li, x, s, c, B, T):
     hd = cfg.head_dim
-    h = rmsnorm(x, blk["attn_norm"], cfg.norm_eps)
-    if "wqkv" in blk:  # fused projection (fuse.py)
-        H = blk["wo"].shape[-2] // hd
-        KH = (blk["wqkv"].shape[-1] - H * hd) // (2 * hd)
-        qkv = linear(h, blk["wqkv"], blk.get("bqkv"))
+    h = rmsnorm(x, blocks["attn_norm"][li], cfg.norm_eps)
+    if "wqkv" in blocks:  # fused projection (fuse.py)
+        H = blocks["wo"].shape[-2] // hd
+        KH = (blocks["wqkv"].shape[-1] - H * hd) // (2 * hd)
+        qkv = linear_layered(h, blocks["wqkv"], li, blocks.get("bqkv"))
         q = qkv[..., : H * hd].reshape(B, T, H, hd)
         k = qkv[..., H * hd : (H + KH) * hd].reshape(B, T, KH, hd)
         v = qkv[..., (H + KH) * hd :].reshape(B, T, KH, hd)
     else:
-        H = blk["wq"].shape[-1] // hd
-        KH = blk["wk"].shape[-1] // hd
-        q = linear(h, blk["wq"], blk.get("bq")).reshape(B, T, H, hd)
-        k = linear(h, blk["wk"], blk.get("bk")).reshape(B, T, KH, hd)
-        v = linear(h, blk["wv"], blk.get("bv")).reshape(B, T, KH, hd)
+        H = blocks["wq"].shape[-1] // hd
+        KH = blocks["wk"].shape[-1] // hd
+        q = linear_layered(h, blocks["wq"], li, blocks.get("bq")).reshape(
+            B, T, H, hd)
+        k = linear_layered(h, blocks["wk"], li, blocks.get("bk")).reshape(
+            B, T, KH, hd)
+        v = linear_layered(h, blocks["wv"], li, blocks.get("bv")).reshape(
+            B, T, KH, hd)
     q = apply_rope(q, s, c, cfg.rope_style)
     k = apply_rope(k, s, c, cfg.rope_style)
     return q, k, v, H, KH
 
 
-def _mlp_residual(cfg, blk, x, attn_out, B, T, H, hd, tp_axis=None):
+def _mlp_residual(cfg, blocks, li, x, attn_out, B, T, H, hd, tp_axis=None):
     """Attention output projection + SwiGLU MLP with residuals. Under tensor
     parallelism (tp_axis set) wo/w2 are row-parallel: psum after each."""
     def maybe_psum(v):
         return lax.psum(v, tp_axis) if tp_axis else v
 
-    x = x + maybe_psum(linear(attn_out.reshape(B, T, H * hd), blk["wo"]))
-    h = rmsnorm(x, blk["ffn_norm"], cfg.norm_eps)
-    if "w13" in blk:  # fused gate|up projection (fuse.py)
-        hidden = blk["w2"].shape[-2]
-        g13 = linear(h, blk["w13"])
+    x = x + maybe_psum(
+        linear_layered(attn_out.reshape(B, T, H * hd), blocks["wo"], li))
+    h = rmsnorm(x, blocks["ffn_norm"][li], cfg.norm_eps)
+    if "w13" in blocks:  # fused gate|up projection (fuse.py)
+        hidden = blocks["w2"].shape[-2]
+        g13 = linear_layered(h, blocks["w13"], li)
         gate, up = g13[..., :hidden], g13[..., hidden:]
     else:
-        gate = linear(h, blk["w1"])
-        up = linear(h, blk["w3"])
+        gate = linear_layered(h, blocks["w1"], li)
+        up = linear_layered(h, blocks["w3"], li)
     act = (gate.astype(jnp.float32) * jax.nn.sigmoid(gate.astype(jnp.float32))
            ).astype(x.dtype) * up
-    return x + maybe_psum(linear(act, blk["w2"]))
+    return x + maybe_psum(linear_layered(act, blocks["w2"], li))
 
 
 def prefill_paged_inner(cfg: ModelConfig, params, tokens, prompt_lens,
@@ -94,31 +103,31 @@ def prefill_paged_inner(cfg: ModelConfig, params, tokens, prompt_lens,
     slot = jnp.arange(T, dtype=jnp.int32)
     kv_mask = slot[None, :] < prompt_lens[:, None]
 
-    def layer_body(carry, scanned):
+    blocks = params["blocks"]
+
+    def layer_body(carry, layer_idx):
         x, kp_all, vp_all = carry  # cache in carry: aliases in place
-        blk, layer_idx = scanned
-        kp = lax.dynamic_index_in_dim(kp_all, layer_idx, 0, keepdims=False)
-        vp = lax.dynamic_index_in_dim(vp_all, layer_idx, 0, keepdims=False)
-        q, k, v, H, KH = _qkv(cfg, blk, x, s, c, B, T)
+        q, k, v, H, KH = _qkv(cfg, blocks, layer_idx, x, s, c, B, T)
         # causal self-attention over the prompt itself (rows independent)
         attn = attention_dense(q, k, v, positions, kv_mask)
         # scatter prompt K/V into pages (kvcache.py layout: lane of
-        # (kv head h, offset o) is h*ps + o); k/v are [B, T, KH, hd]
-        ps = kp.shape[-1] // KH
+        # (kv head h, offset o) is h*ps + o); k/v are [B, T, KH, hd].
+        # Scatter into the FULL [L, P, hd, KH*ps] pool (layer in the index)
+        # rather than slice+update, which would copy a layer of pages.
+        ps = kp_all.shape[-1] // KH
         lanes = (jnp.arange(KH, dtype=jnp.int32)[None, None, :] * ps
                  + token_offs[:, :, None])  # [B, T, KH]
-        kp = kp.at[token_pages[:, :, None], :, lanes].set(
-            k.astype(kp.dtype), mode="drop")
-        vp = vp.at[token_pages[:, :, None], :, lanes].set(
-            v.astype(vp.dtype), mode="drop")
-        x = _mlp_residual(cfg, blk, x, attn, B, T, H, hd, tp_axis)
-        kp_all = lax.dynamic_update_index_in_dim(kp_all, kp, layer_idx, 0)
-        vp_all = lax.dynamic_update_index_in_dim(vp_all, vp, layer_idx, 0)
+        kp_all = kp_all.at[layer_idx, token_pages[:, :, None], :, lanes].set(
+            k.astype(kp_all.dtype), mode="drop")
+        vp_all = vp_all.at[layer_idx, token_pages[:, :, None], :, lanes].set(
+            v.astype(vp_all.dtype), mode="drop")
+        x = _mlp_residual(cfg, blocks, layer_idx, x, attn, B, T, H, hd,
+                          tp_axis)
         return (x, kp_all, vp_all), None
 
     layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
     (x, k_pages, v_pages), _ = lax.scan(
-        layer_body, (x, k_pages, v_pages), (params["blocks"], layer_ids)
+        layer_body, (x, k_pages, v_pages), layer_ids
     )
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     logits = linear(x, params["lm_head"]).astype(jnp.float32)
@@ -160,6 +169,7 @@ def decode_chunk_paged_inner(cfg: ModelConfig, params, token, pos,
     hd = cfg.head_dim
     sin, cos = build_rope(cfg)
     b_idx = jnp.arange(B, dtype=jnp.int32)
+    blocks = params["blocks"]
 
     def step(carry, _):
         token, pos, k_pages, v_pages, done, rng = carry
@@ -169,30 +179,29 @@ def decode_chunk_paged_inner(cfg: ModelConfig, params, token, pos,
         write_page = page_table_dev[b_idx, pos // page_size]
         write_off = pos % page_size
 
-        def layer_body(carry, scanned):
+        def layer_body(carry, layer_idx):
             x, kp_all, vp_all = carry
-            blk, layer_idx = scanned
-            kp = lax.dynamic_index_in_dim(kp_all, layer_idx, 0, keepdims=False)
-            vp = lax.dynamic_index_in_dim(vp_all, layer_idx, 0, keepdims=False)
-            q, k, v, H, KH = _qkv(cfg, blk, x, s, c, B, 1)
+            q, k, v, H, KH = _qkv(cfg, blocks, layer_idx, x, s, c, B, 1)
             lanes = (jnp.arange(KH, dtype=jnp.int32)[None, :] * page_size
                      + write_off[:, None])  # [B, KH]
-            kp = kp.at[write_page[:, None], :, lanes].set(
-                k[:, 0].astype(kp.dtype), mode="drop")
-            vp = vp.at[write_page[:, None], :, lanes].set(
-                v[:, 0].astype(vp.dtype), mode="drop")
+            # scatter into / attend over the FULL stacked pools (layer in
+            # the scatter index and prefetched into the kernel) — slicing a
+            # layer of pages out first would copy it every step
+            kp_all = kp_all.at[layer_idx, write_page[:, None], :, lanes].set(
+                k[:, 0].astype(kp_all.dtype), mode="drop")
+            vp_all = vp_all.at[layer_idx, write_page[:, None], :, lanes].set(
+                v[:, 0].astype(vp_all.dtype), mode="drop")
             attn = paged_attention_flat(
-                q[:, 0], kp, vp, flat_b, flat_page, flat_tok0, n_items,
-                seq_lens, page_size=page_size,
+                q[:, 0], kp_all, vp_all, flat_b, flat_page, flat_tok0,
+                n_items, seq_lens, page_size=page_size, layer_idx=layer_idx,
             )
-            x = _mlp_residual(cfg, blk, x, attn[:, None], B, 1, H, hd, tp_axis)
-            kp_all = lax.dynamic_update_index_in_dim(kp_all, kp, layer_idx, 0)
-            vp_all = lax.dynamic_update_index_in_dim(vp_all, vp, layer_idx, 0)
+            x = _mlp_residual(cfg, blocks, layer_idx, x, attn[:, None], B, 1,
+                              H, hd, tp_axis)
             return (x, kp_all, vp_all), None
 
         layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
         (x, k_pages, v_pages), _ = lax.scan(
-            layer_body, (x, k_pages, v_pages), (params["blocks"], layer_ids)
+            layer_body, (x, k_pages, v_pages), layer_ids
         )
         x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
         logits = linear(x[:, 0], params["lm_head"]).astype(jnp.float32)

@@ -39,8 +39,9 @@ def _quant_matmul_xla(x, w: QuantArray):
     xg = x.reshape(*lead, ng, g).astype(jnp.float32)
     qg = w.q.reshape(ng, g, out_dim).astype(jnp.float32)
     # partial[..., ng, out] = sum_g xg * qg ; then scale per group and sum.
+    # (s rows may carry 8-alignment padding — see QuantArray docstring)
     partial = jnp.einsum("...ng,ngo->...no", xg, qg)
-    out = jnp.sum(partial * w.s.astype(jnp.float32), axis=-2)
+    out = jnp.sum(partial * w.s[:ng].astype(jnp.float32), axis=-2)
     return out.astype(x.dtype)
 
 
@@ -61,4 +62,40 @@ def linear(x, w, bias=None):
         ).astype(x.dtype)
     if bias is not None:
         out = out + bias.astype(out.dtype)
+    return out
+
+
+def linear_layered(x, w, layer_idx, bias=None):
+    """linear() against layer `layer_idx` of a STACKED weight [L, in, out].
+
+    The point (vs slicing then calling linear): a pallas_call operand
+    cannot fuse a dynamic-slice, so slicing the stacked weight inside a
+    lax.scan over layers materializes a full copy of every layer's weights
+    each step — decode is weight-bandwidth-bound, so that copy alone costs
+    ~2x tokens/s. The layered kernel indexes the layer in its BlockSpec
+    index_map and DMAs tiles straight from the stacked HBM buffer.
+    """
+    if isinstance(w, QuantArray):
+        if _USE_PALLAS and x.ndim >= 2:
+            from .pallas.quant_matmul import quant_matmul_layered
+
+            out = quant_matmul_layered(x, w, layer_idx)
+        else:
+            wl = QuantArray(
+                q=jax.lax.dynamic_index_in_dim(w.q, layer_idx, 0, False),
+                s=jax.lax.dynamic_index_in_dim(w.s, layer_idx, 0, False),
+                group_size=w.group_size,
+            )
+            out = _quant_matmul_xla(x, wl)
+    else:
+        # XLA fuses a dynamic-slice into its own dot emitters
+        wl = jax.lax.dynamic_index_in_dim(w, layer_idx, 0, keepdims=False)
+        out = jax.lax.dot_general(
+            x, wl.astype(x.dtype),
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+    if bias is not None:
+        bl = jax.lax.dynamic_index_in_dim(bias, layer_idx, 0, keepdims=False)
+        out = out + bl.astype(out.dtype)
     return out

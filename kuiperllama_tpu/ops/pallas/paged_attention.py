@@ -63,7 +63,8 @@ def _n_slots(page_k_bytes: int, page_v_bytes: int) -> int:
 
 def _kernel(
     # scalar prefetch
-    flat_b_ref, flat_page_ref, flat_tok0_ref, n_items_ref, seq_lens_ref,
+    layer_ref, flat_b_ref, flat_page_ref, flat_tok0_ref, n_items_ref,
+    seq_lens_ref,
     # inputs
     q_ref, kp_ref, vp_ref,
     # outputs
@@ -72,6 +73,7 @@ def _kernel(
     kbuf, vbuf, sems, *, page_size: int, n_kv_heads: int, kv_mul: int,
     max_items: int, n_slots: int,
 ):
+    li = layer_ref[0]
     n_items = n_items_ref[0]
     B, H, hd = q_ref.shape
     ps, KH = page_size, n_kv_heads
@@ -85,10 +87,15 @@ def _kernel(
     col_off = col % ps  # token offset of each column within the page
 
     def dma(slot, i):
+        # pools are the FULL stacked [L, P, hd, KH*ps] buffers; indexing the
+        # layer here (instead of slicing before the call) avoids
+        # materializing a copy of a whole layer of pages per decode step
         page = flat_page_ref[i]
         return (
-            pltpu.make_async_copy(kp_ref.at[page], kbuf.at[slot], sems.at[slot, 0]),
-            pltpu.make_async_copy(vp_ref.at[page], vbuf.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(kp_ref.at[li, page], kbuf.at[slot],
+                                  sems.at[slot, 0]),
+            pltpu.make_async_copy(vp_ref.at[li, page], vbuf.at[slot],
+                                  sems.at[slot, 1]),
         )
 
     for w in range(n_slots - 1):
@@ -196,12 +203,20 @@ def build_work_list(page_table, seq_lens, page_size: int):
 @functools.partial(jax.jit, static_argnames=("page_size", "n_kv_heads"))
 def paged_attention_flat(q, k_pages, v_pages, flat_b, flat_page, flat_tok0,
                          n_items, seq_lens, page_size: int = 128,
-                         n_kv_heads: int | None = None):
-    """q [B, H, hd] against one layer's paged K/V via a flat work list
-    (see build_work_list). k_pages AND v_pages are [P, hd, KH*ps].
-    Returns [B, H, hd]."""
+                         n_kv_heads: int | None = None, layer_idx=None):
+    """q [B, H, hd] against paged K/V via a flat work list (see
+    build_work_list). k_pages/v_pages are [P, hd, KH*ps] for one layer, or
+    the FULL stacked [L, P, hd, KH*ps] pools with `layer_idx` given —
+    inside a lax.scan over layers ALWAYS pass the stacked pools: slicing
+    the pool first materializes a copy of every page (custom-call operands
+    cannot fuse a dynamic-slice). Returns [B, H, hd]."""
     B, H, hd = q.shape
-    P, hd2, khps = k_pages.shape
+    if k_pages.ndim == 3:
+        k_pages = k_pages[None]
+        v_pages = v_pages[None]
+        layer_idx = jnp.zeros((), jnp.int32)
+    assert layer_idx is not None, "stacked pools need layer_idx"
+    L, P, hd2, khps = k_pages.shape
     assert hd2 == hd, (k_pages.shape, q.shape)
     assert v_pages.shape == k_pages.shape, (v_pages.shape, k_pages.shape)
     KH = n_kv_heads or khps // page_size
@@ -212,7 +227,7 @@ def paged_attention_flat(q, k_pages, v_pages, flat_b, flat_page, flat_tok0,
                        khps * hd * v_pages.dtype.itemsize)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(1,),
         in_specs=[
             pl.BlockSpec((B, H, hd), lambda *_: (0, 0, 0)),
@@ -235,7 +250,8 @@ def paged_attention_flat(q, k_pages, v_pages, flat_b, flat_page, flat_tok0,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, hd), q.dtype),
         interpret=_interpret(),
-    )(flat_b, flat_page, flat_tok0, n_items, seq_lens, q, k_pages, v_pages)
+    )(jnp.reshape(layer_idx, (1,)).astype(jnp.int32), flat_b, flat_page,
+      flat_tok0, n_items, seq_lens, q, k_pages, v_pages)
 
 
 def paged_attention(q, k_pages, v_pages, page_table, seq_lens,

@@ -50,6 +50,20 @@ def _round_up(x, m):
     return _cdiv(x, m) * m
 
 
+def _pick_tile(dim: int, quantum: int, cap: int):
+    """Largest multiple of `quantum` that DIVIDES dim and is <= cap.
+
+    Padding a weight to make the grid divide is not an option on the hot
+    path: jnp.pad materializes a full copy of the (possibly [L, K, N]
+    stacked) weight — for Llama-2-7B's w2 that is gigabytes of HBM traffic
+    per call. Returns None if nothing divides (caller falls back to pad)."""
+    for k in range(min(cap, dim) // quantum, 0, -1):
+        t = k * quantum
+        if dim % t == 0:
+            return t
+    return None
+
+
 def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, group_size, n_k, mode):
     k = pl.program_id(1)
 
@@ -61,8 +75,9 @@ def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, group_size, n_k, mode):
     ng = tk // group_size
     if mode == "fast":
         # int8 payloads are exact in bf16; only the scale multiply rounds.
+        # [:ng]: the scales block may carry 8-alignment padding rows
         qb = q_ref[:].astype(jnp.bfloat16).reshape(ng, group_size, tn)
-        sb = s_ref[:].astype(jnp.bfloat16)
+        sb = s_ref[:][:ng].astype(jnp.bfloat16)
         w = (qb * sb[:, None, :]).reshape(tk, tn)
         acc_ref[:] += jax.lax.dot_general(
             x_ref[:].astype(jnp.bfloat16), w,
@@ -71,7 +86,7 @@ def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, group_size, n_k, mode):
         )
     else:
         qf = q_ref[:].astype(jnp.float32).reshape(ng, group_size, tn)
-        w = (qf * s_ref[:][:, None, :]).reshape(tk, tn)
+        w = (qf * s_ref[:][:ng][:, None, :]).reshape(tk, tn)
         acc_ref[:] += jax.lax.dot_general(
             x_ref[:].astype(jnp.float32), w,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -103,8 +118,13 @@ def _quant_matmul_2d(x, q, s, group_size: int, block_out: int = 512,
     g = group_size
     out_dtype = out_dtype or x.dtype
 
-    TN = min(block_out, _round_up(N, 128))
-    TK = min(block_in, _round_up(K, g))
+    # prefer tiles that divide exactly — padding copies the whole weight.
+    # TK quantum is 8*g: the scales block [TK//g, TN] needs >= 8 sublanes
+    # (Mosaic tiling rule) unless it spans the whole (8-padded) axis.
+    TN = _pick_tile(N, 128, block_out) or min(block_out, _round_up(N, 128))
+    TK = (_pick_tile(K, 8 * g, block_in)
+          or (K if K * TN <= (8 << 20) else None)
+          or min(block_in, _round_up(K, 8 * g)))
     assert TK % g == 0, (TK, g)
     n_n, n_k = _cdiv(N, TN), _cdiv(K, TK)
     TM = _round_up(M, 8)
@@ -116,8 +136,12 @@ def _quant_matmul_2d(x, q, s, group_size: int, block_out: int = 512,
     if K % TK or N % TN:
         x = jnp.pad(x, ((0, 0), (0, n_k * TK - K)))
         q = jnp.pad(q, ((0, n_k * TK - K), (0, n_n * TN - N)))
-        s = jnp.pad(s, ((0, (n_k * TK - K) // g), (0, n_n * TN - N)))
+        s = s[: K // g]  # drop any 8-alignment padding rows before re-pad
+        s = jnp.pad(s, ((0, (n_k * TK) // g - K // g), (0, n_n * TN - N)))
 
+    # TK == K: the single scales block spans its whole (possibly 8-padded)
+    # row axis; the kernel slices back to the real group count.
+    SROWS = TK // g if n_k > 1 else s.shape[0]
     kernel = functools.partial(_kernel, group_size=g, n_k=n_k, mode=mode)
     out = pl.pallas_call(
         kernel,
@@ -125,13 +149,16 @@ def _quant_matmul_2d(x, q, s, group_size: int, block_out: int = 512,
         in_specs=[
             pl.BlockSpec((TM, TK), lambda j, k: (0, k)),
             pl.BlockSpec((TK, TN), lambda j, k: (k, j)),
-            pl.BlockSpec((TK // g, TN), lambda j, k: (k, j)),
+            pl.BlockSpec((SROWS, TN), lambda j, k: (k, j)),
         ],
         out_specs=pl.BlockSpec((TM, TN), lambda j, k: (0, j)),
         out_shape=jax.ShapeDtypeStruct((TM, n_n * TN), out_dtype),
         scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # this chip has 128 MB VMEM; the default 16 MB scoped budget
+            # rejects whole-reduction tiles (w2 at K=11008 needs ~18 MB)
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * TM * K * N,
@@ -154,3 +181,116 @@ def quant_matmul(x, w: QuantArray, mode: str | None = None,
         out_dtype=x.dtype, mode=mode or _DEFAULT_MODE,
     )
     return out.reshape(*lead, w.q.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# Layer-indexed variant: weights stay STACKED [L, in, out] in HBM and the
+# kernel DMAs the requested layer's tiles directly. Inside a lax.scan over
+# layers, slicing the stacked weight first (scan xs / dynamic_index) forces
+# XLA to MATERIALIZE a copy of every layer's weights before each pallas_call
+# (custom-call operands cannot fuse a dynamic-slice) — that one copy nearly
+# doubles decode's HBM traffic, which is the whole tokens/s budget.
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "block_out", "block_in", "out_dtype", "mode"),
+)
+def _quant_matmul_layered(x, q, s, layer_idx, group_size: int,
+                          block_out: int = 512, block_in: int = 2048,
+                          out_dtype=None, mode: str = "fast"):
+    """x [M, K] @ dequant(q [L, K, N], s [L, K/g, N])[layer_idx] -> [M, N].
+
+    The stacked weight is viewed as 2-D [L*K, N] (a free reshape — the
+    memory is contiguous) and the layer becomes a row offset in the
+    BlockSpec index_map. The kernel body and block shapes are identical to
+    the single-layer kernel; the tiles must divide K and N exactly (no pad
+    fallback: padding a stacked weight copies gigabytes)."""
+    M, K = x.shape
+    L, K2, N = q.shape
+    assert K == K2, (x.shape, q.shape)
+    g = group_size
+    out_dtype = out_dtype or x.dtype
+
+    # TK quantum is 8*g: the scales block [TK//g, TN] needs >= 8 sublanes
+    # (Mosaic tiling rule). If nothing divides, take the whole reduction in
+    # one tile; the 3-D scales block then spans its full axis, which Mosaic
+    # allows at any size.
+    TN = _pick_tile(N, 128, block_out)
+    TK = _pick_tile(K, 8 * g, block_in) or K
+    assert TN is not None, (
+        f"no dividing out-tile for N={N}; pad the checkpoint weights "
+        "to a multiple of 128")
+    n_n, n_k = N // TN, K // TK
+    TM = _round_up(M, 8)
+    if M != TM:
+        x = jnp.pad(x, ((0, TM - M), (0, 0)))
+
+    q2 = q.reshape(L * K, N)  # free: contiguous
+
+    def kernel(idx_ref, x_ref, q_ref, s_ref, o_ref, acc_ref):
+        # idx_ref is consumed by the index_maps; the body is the 2-D kernel
+        # (scales arrive as a [1, TK//g, TN] block of the 3-D array)
+        _kernel(x_ref, q_ref, s_ref.at[0], o_ref, acc_ref,
+                group_size=g, n_k=n_k, mode=mode)
+    # TK == K: one scales block spanning the whole (8-padded) row axis
+    SROWS = TK // g if n_k > 1 else s.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_n, n_k),
+        in_specs=[
+            pl.BlockSpec((TM, TK), lambda j, k, idx: (0, k)),
+            pl.BlockSpec((TK, TN), lambda j, k, idx: (idx[0] * n_k + k, j)),
+            pl.BlockSpec((1, SROWS, TN), lambda j, k, idx: (idx[0], k, j)),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda j, k, idx: (0, j)),
+        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((TM, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            # this chip has 128 MB VMEM; the default 16 MB scoped budget
+            # rejects whole-reduction tiles (w2 at K=11008 needs ~18 MB)
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * TM * K * N,
+            bytes_accessed=TM * K * 4 + K * N + (K // g) * N * 4 + TM * N * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(layer_idx.reshape(1).astype(jnp.int32), x, q2, s)
+    return out[:M, :N]
+
+
+def quant_matmul_layered(x, w: QuantArray, layer_idx, mode: str | None = None,
+                         block_out: int = 512, block_in: int = 2048):
+    """x [..., in] @ dequant(stacked QuantArray [L, in, out])[layer_idx].
+
+    For use inside lax.scan over layers: pass the UNSLICED stacked weight;
+    the kernel's index_map picks the layer, so no per-layer weight copy is
+    materialized."""
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    N = w.q.shape[-1]
+    x2 = x.reshape(-1, K)
+    if _pick_tile(N, 128, block_out) is None or \
+            _pick_tile(K, w.group_size, block_in) is None:
+        # odd (test-sized) shape: no dividing tile — slice the layer and
+        # take the padding single-layer kernel (copies one layer; fine off
+        # the production shapes, which all divide)
+        wl_q = jax.lax.dynamic_index_in_dim(w.q, layer_idx, 0, keepdims=False)
+        wl_s = jax.lax.dynamic_index_in_dim(w.s, layer_idx, 0, keepdims=False)
+        out = _quant_matmul_2d(
+            x2, wl_q, wl_s, w.group_size, block_out=block_out,
+            block_in=block_in, out_dtype=x.dtype, mode=mode or _DEFAULT_MODE,
+        )
+    else:
+        out = _quant_matmul_layered(
+            x2, w.q, w.s, layer_idx, w.group_size, block_out=block_out,
+            block_in=block_in, out_dtype=x.dtype, mode=mode or _DEFAULT_MODE,
+        )
+    return out.reshape(*lead, N)

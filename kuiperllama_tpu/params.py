@@ -17,11 +17,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import ModelConfig
-from .quant import QuantArray, quantize_q80
+from .quant import QuantArray, pad_scale_rows, quantize_q80
 
 
 def is_quant_leaf(x) -> bool:
     return isinstance(x, dict) and set(x.keys()) >= {"q", "s", "group_size"}
+
+
+def _round_up8(n: int) -> int:
+    return -(-n // 8) * 8
 
 
 def to_device(params, dtype=jnp.float32, sharding_tree=None):
@@ -39,9 +43,12 @@ def to_device(params, dtype=jnp.float32, sharding_tree=None):
     def convert(path, x, sh=None):
         if is_quant_leaf(x):
             qsh, ssh = (sh["q"], sh["s"]) if sh is not None else (None, None)
+            # scale rows pad to a multiple of 8 on device (Mosaic cannot
+            # address sub-8-sublane scale blocks; see QuantArray docstring)
+            s = pad_scale_rows(np.asarray(x["s"], np.float32))
             return QuantArray(
                 q=put(x["q"], qsh),
-                s=put(np.asarray(x["s"], np.float32), ssh),
+                s=put(s, ssh),
                 group_size=int(x["group_size"]),
             )
         x = np.asarray(x)
@@ -130,9 +137,11 @@ def _random_params_jit(key, cfg, dtype_name, quantize, group_size, scale):
         if quant:
             # synthesize int8 payload + scales directly: a normal->quantize
             # round-trip materializes fp32 intermediates (a 7B synth would
-            # OOM a 16 GB chip); the bench compute is identical either way
+            # OOM a 16 GB chip); the bench compute is identical either way.
+            # scale rows padded to a multiple of 8 (QuantArray docstring)
             q = jax.random.randint(next(keys), shape, -127, 128, jnp.int8)
-            ns = shape[:-2] + (shape[-2] // group_size, shape[-1])
+            rows = _round_up8(shape[-2] // group_size)
+            ns = shape[:-2] + (rows, shape[-1])
             s = jnp.full(ns, scale / 127.0, jnp.float32)
             return QuantArray(q=q, s=s, group_size=group_size)
         w = jax.random.normal(next(keys), shape, dtype) * jnp.asarray(

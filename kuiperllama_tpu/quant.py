@@ -26,7 +26,13 @@ class QuantArray:
     """int8 values + fp32 group scales. Groups run along axis -2 (the `in` dim).
 
     q: int8  [..., in, out]
-    s: fp32  [..., in // group_size, out]
+    s: fp32  [..., n_scale_rows, out]  with n_scale_rows >= in // group_size
+
+    The scale rows MAY be padded past in//group_size (device-side arrays
+    pad to a multiple of 8 — Mosaic cannot address sub-8-sublane scale
+    blocks, and shapes like Llama-2-7B's hidden_dim=11008 have
+    in/group = 172 with no multiple-of-8 divisor). Consumers must index
+    rows [:in // group_size]; the padding rows are never read.
     """
 
     q: jax.Array
@@ -66,6 +72,17 @@ def quantize_q80(w, group_size: int = 64, axis: int = -2):
     return QuantArray(q=q, s=s.astype(jnp.float32), group_size=group_size)
 
 
+def pad_scale_rows(s, multiple: int = 8):
+    """Pad the scale-row axis (-2) up to a multiple (see QuantArray doc)."""
+    rows = s.shape[-2]
+    pad = -rows % multiple
+    if pad == 0:
+        return s
+    widths = [(0, 0)] * s.ndim
+    widths[-2] = (0, pad)
+    return jnp.pad(s, widths) if isinstance(s, jax.Array) else np.pad(s, widths)
+
+
 def dequantize(qa: QuantArray) -> jax.Array:
     """Reference dequant: float = int8 * group_scale. fp32 output."""
     g = qa.group_size
@@ -73,7 +90,7 @@ def dequantize(qa: QuantArray) -> jax.Array:
     in_dim = q.shape[-2]
     ng = in_dim // g
     qg = q.reshape(q.shape[:-2] + (ng, g) + q.shape[-1:]).astype(jnp.float32)
-    s = qa.s[..., :, None, :]  # [..., ng, 1, out]
+    s = qa.s[..., :ng, :][..., :, None, :]  # [..., ng, 1, out]
     return (qg * s).reshape(q.shape)
 
 

@@ -68,3 +68,44 @@ def test_fast_mode_bf16_class_error(rng):
     want = np.asarray(x @ dequantize(qa))
     rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
     assert rel < 1e-2, rel
+
+
+def test_layered_matches_sliced(rng):
+    """Layer-indexed kernel over stacked [L, K, N] weights == slicing the
+    layer and using the single-layer kernel (both vs the XLA oracle)."""
+    import jax.numpy as jnp
+    from kuiperllama_tpu.ops.linear import _quant_matmul_xla
+    from kuiperllama_tpu.ops.pallas.quant_matmul import quant_matmul_layered
+    from kuiperllama_tpu.quant import QuantArray
+
+    L, K, N, g, M = 3, 256, 384, 64, 4
+    q = rng.integers(-127, 128, (L, K, N)).astype(np.int8)
+    s = rng.uniform(0.005, 0.02, (L, K // g, N)).astype(np.float32)
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    w = QuantArray(q=jnp.asarray(q), s=jnp.asarray(s), group_size=g)
+    for li in range(L):
+        got = np.asarray(quant_matmul_layered(
+            jnp.asarray(x), w, jnp.int32(li), mode="exact"))
+        wl = QuantArray(q=jnp.asarray(q[li]), s=jnp.asarray(s[li]),
+                        group_size=g)
+        want = np.asarray(_quant_matmul_xla(jnp.asarray(x), wl))
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_layered_odd_shape_fallback(rng):
+    """Shapes with no dividing tile route through the sliced fallback."""
+    import jax.numpy as jnp
+    from kuiperllama_tpu.ops.linear import _quant_matmul_xla
+    from kuiperllama_tpu.ops.pallas.quant_matmul import quant_matmul_layered
+    from kuiperllama_tpu.quant import QuantArray
+
+    L, K, N, g = 2, 64, 192, 32  # 192 has no multiple-of-128 divisor
+    q = rng.integers(-127, 128, (L, K, N)).astype(np.int8)
+    s = rng.uniform(0.005, 0.02, (L, K // g, N)).astype(np.float32)
+    x = rng.standard_normal((2, K)).astype(np.float32)
+    w = QuantArray(q=jnp.asarray(q), s=jnp.asarray(s), group_size=g)
+    got = np.asarray(quant_matmul_layered(
+        jnp.asarray(x), w, jnp.int32(1), mode="exact"))
+    wl = QuantArray(q=jnp.asarray(q[1]), s=jnp.asarray(s[1]), group_size=g)
+    want = np.asarray(_quant_matmul_xla(jnp.asarray(x), wl))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
