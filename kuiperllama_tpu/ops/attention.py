@@ -36,10 +36,14 @@ def attention_dense(q, k_cache, v_cache, q_positions, kv_len_mask=None):
     qf = q.reshape(B, T, KH, kv_mul, hd).astype(jnp.float32)
     kf = k_cache.astype(jnp.float32)
     vf = v_cache.astype(jnp.float32)
+    # fp32 inputs get true-fp32 contractions (the TPU default would run
+    # them through bf16 passes, ~1e-3 — this is the parity oracle);
+    # bf16-origin data loses nothing at default precision.
+    prec = ("highest" if q.dtype == jnp.float32 else None)
 
     scale = 1.0 / jnp.sqrt(jnp.float32(hd))
     # scores: [B, T, KH, kv_mul, S]
-    scores = jnp.einsum("btkmh,bskh->btkms", qf, kf) * scale
+    scores = jnp.einsum("btkmh,bskh->btkms", qf, kf, precision=prec) * scale
 
     slot = jnp.arange(S, dtype=jnp.int32)
     causal = slot[None, None, :] <= q_positions[:, :, None]  # [B, T, S]
@@ -52,5 +56,5 @@ def attention_dense(q, k_cache, v_cache, q_positions, kv_len_mask=None):
     probs = jnp.exp(scores)
     probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
 
-    out = jnp.einsum("btkms,bskh->btkmh", probs, vf)
+    out = jnp.einsum("btkms,bskh->btkmh", probs, vf, precision=prec)
     return out.reshape(B, T, H, hd).astype(q.dtype)

@@ -125,10 +125,14 @@ def _kernel(
         valid = jnp.logical_and(own_block, flat_tok0_ref[i] + col_off < seq_len)
 
         q = q_ref[b]  # [H, hd] native dtype
-        # bf16 x bf16 -> fp32 accumulation is exact for bf16 inputs
+        # bf16 x bf16 -> fp32 accumulation is exact for bf16 inputs; fp32
+        # inputs (tests / fp32 caches) must request HIGHEST or the TPU
+        # default runs the fp32 dot through bf16 passes (~1e-3 error)
+        prec = (jax.lax.Precision.HIGHEST
+                if q_ref.dtype == jnp.float32 else None)
         s = jax.lax.dot_general(
             q, kbuf[slot].astype(q.dtype), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         ) * scale  # [H, KH*ps]
         s = jnp.where(valid, s, NEG_INF)
 
@@ -140,6 +144,8 @@ def _kernel(
         pv = jax.lax.dot_general(
             p.astype(vbuf.dtype), vbuf[slot], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=(jax.lax.Precision.HIGHEST
+                       if vbuf.dtype == jnp.float32 else None),
         )  # [H, hd]
         acc = acc * corr + pv
         m, l = m_new, l_new

@@ -7,18 +7,28 @@ bandwidth than fp32 — decode is weight-bandwidth-bound), dequantization
 happens on-chip in VMEM against the group scales, and the contraction runs
 on the MXU with fp32 accumulation.
 
-Two modes (measured on v5e, 4096x4096, decode M=8):
+Two modes:
   fast  — int8 -> bf16 cast, bf16 scale multiply, single bf16 MXU pass.
-          ~31us = 580 GB/s effective int8 bandwidth (~70% of HBM roofline;
-          1.5x the tokens/s of a bf16 dense weight read). Error ~3e-3
-          relative — the same class as bf16 activations themselves.
+          Error ~3e-3 relative — the same class as bf16 activations.
   exact — fp32 dequant + fp32 HIGHEST matmul (6 MXU passes). Bit-accurate
           against the fp32 XLA oracle; used by parity tests and fp32 runs.
 
-Layout (see quant.py): q int8 [in, out], scales fp32 [in/g, out], groups
-along the reduction dim. Grid is (out_tiles, in_tiles) with the reduction
-innermost; partials accumulate in a VMEM scratch, the output tile is
-written on the last reduction step.
+Layout (see quant.py): q int8 [in, out], scales fp32 [in/g, out] (rows may
+be 8-padded), groups along the reduction dim. Grid is (out_tiles, in_tiles)
+with the reduction innermost; partials accumulate in a VMEM scratch, the
+output tile is written on the last reduction step.
+
+Performance rules learned the hard way on this hardware (r2):
+  * NEVER hand the kernel a slice of a bigger array — a pallas_call operand
+    cannot fuse a dynamic-slice, so XLA materializes a copy of the whole
+    operand first. Inside the per-layer scan that doubles decode's HBM
+    traffic; the layer-indexed variant below exists for exactly this.
+  * NEVER pad weights to tile multiples on the hot path (same reason);
+    _pick_tile chooses tiles that divide the true shape.
+  * The chip reports "TPU v5 lite" but has 128 MB VMEM; the default 16 MB
+    scoped budget rejects whole-reduction tiles (vmem_limit_bytes=96MB).
+End-to-end with these rules: Llama-2-7B INT8 B=1 decode at 88.7% of the
+measured weight-stream roofline (BENCH_r02).
 """
 
 from __future__ import annotations
