@@ -35,6 +35,10 @@ from .decoder import build_rope
 # whole layer's weights — decode's HBM budget); linear_layered indexes the
 # layer inside the kernel.
 
+# perf-debug switch (tools/exp_paged-style ablations): skip KV writes in the
+# decode step to isolate the scatter's cost. NEVER set in production.
+_DEBUG_SKIP_WRITES = False
+
 
 def _qkv(cfg, blocks, li, x, s, c, B, T):
     hd = cfg.head_dim
@@ -187,10 +191,11 @@ def decode_chunk_paged_inner(cfg: ModelConfig, params, token, pos,
             # scatter into / attend over the FULL stacked pools (layer in
             # the scatter index and prefetched into the kernel) — slicing a
             # layer of pages out first would copy it every step
-            kp_all = kp_all.at[layer_idx, write_page[:, None], :, lanes].set(
-                k[:, 0].astype(kp_all.dtype), mode="drop")
-            vp_all = vp_all.at[layer_idx, write_page[:, None], :, lanes].set(
-                v[:, 0].astype(vp_all.dtype), mode="drop")
+            if not _DEBUG_SKIP_WRITES:
+                kp_all = kp_all.at[layer_idx, write_page[:, None], :, lanes].set(
+                    k[:, 0].astype(kp_all.dtype), mode="drop")
+                vp_all = vp_all.at[layer_idx, write_page[:, None], :, lanes].set(
+                    v[:, 0].astype(vp_all.dtype), mode="drop")
             attn = paged_attention_flat(
                 q[:, 0], kp_all, vp_all, flat_b, flat_page, flat_tok0,
                 n_items, seq_lens, page_size=page_size, layer_idx=layer_idx,

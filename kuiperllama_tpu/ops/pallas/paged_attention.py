@@ -67,8 +67,9 @@ def _kernel(
     seq_lens_ref,
     # inputs
     q_ref, kp_ref, vp_ref,
-    # outputs
-    o_ref,
+    # outputs (UNNORMALIZED flash stats — callers merge/normalize; the
+    # decode path flash-merges these with a dense tail-buffer partial)
+    o_ref, m_ref, l_ref,
     # scratch
     kbuf, vbuf, sems, *, page_size: int, n_kv_heads: int, kv_mul: int,
     max_items: int, n_slots: int,
@@ -158,7 +159,9 @@ def _kernel(
 
         @pl.when(is_last)
         def _():
-            o_ref[b] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+            o_ref[b] = acc.astype(o_ref.dtype)
+            m_ref[b] = m[:, 0]
+            l_ref[b] = l[:, 0]
 
         fresh = jnp.where(is_last, 0.0, 1.0)
         m = jnp.where(is_last, NEG_INF, m)
@@ -215,7 +218,12 @@ def paged_attention_flat(q, k_pages, v_pages, flat_b, flat_page, flat_tok0,
     the FULL stacked [L, P, hd, KH*ps] pools with `layer_idx` given —
     inside a lax.scan over layers ALWAYS pass the stacked pools: slicing
     the pool first materializes a copy of every page (custom-call operands
-    cannot fuse a dynamic-slice). Returns [B, H, hd]."""
+    cannot fuse a dynamic-slice).
+
+    Returns UNNORMALIZED flash stats (acc [B, H, hd] fp32, m [B, H] fp32,
+    l [B, H] fp32): out = acc / l, and partials from another source (the
+    decode tail buffer) merge via merge_flash_parts. Rows with zero pages
+    in the work list are NOT written — callers must mask on seq_lens > 0."""
     B, H, hd = q.shape
     if k_pages.ndim == 3:
         k_pages = k_pages[None]
@@ -240,7 +248,9 @@ def paged_attention_flat(q, k_pages, v_pages, flat_b, flat_page, flat_tok0,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((B, H, hd), lambda *_: (0, 0, 0)),
+        out_specs=(pl.BlockSpec((B, H, hd), lambda *_: (0, 0, 0)),
+                   pl.BlockSpec((B, H), lambda *_: (0, 0)),
+                   pl.BlockSpec((B, H), lambda *_: (0, 0))),
         scratch_shapes=[
             pltpu.VMEM((n_slots, hd, khps), k_pages.dtype),
             pltpu.VMEM((n_slots, hd, khps), v_pages.dtype),
@@ -254,24 +264,40 @@ def paged_attention_flat(q, k_pages, v_pages, flat_b, flat_page, flat_tok0,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, hd), q.dtype),
+        out_shape=(jax.ShapeDtypeStruct((B, H, hd), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H), jnp.float32)),
         interpret=_interpret(),
     )(jnp.reshape(layer_idx, (1,)).astype(jnp.int32), flat_b, flat_page,
       flat_tok0, n_items, seq_lens, q, k_pages, v_pages)
+
+
+def merge_flash_parts(acc1, m1, l1, acc2, m2, l2):
+    """Combine two unnormalized flash-attention partials over disjoint key
+    sets. Shapes: acc [..., hd], m/l [...] (broadcast over hd).
+    Returns the NORMALIZED merged output."""
+    m12 = jnp.maximum(m1, m2)
+    c1 = jnp.exp(m1 - m12)[..., None]
+    c2 = jnp.exp(m2 - m12)[..., None]
+    num = acc1 * c1 + acc2 * c2
+    den = l1[..., None] * c1 + l2[..., None] * c2
+    return num / jnp.maximum(den, 1e-30)
 
 
 def paged_attention(q, k_pages, v_pages, page_table, seq_lens,
                     page_size: int = 128):
     """Convenience wrapper building the work list on host from numpy
     page_table/seq_lens (jax arrays are pulled to host — prefer
-    paged_attention_flat inside jitted steps)."""
+    paged_attention_flat inside jitted steps). Returns the NORMALIZED
+    output [B, H, hd] in q.dtype."""
     import numpy as np
 
     pt = np.asarray(page_table)
     sl = np.asarray(seq_lens)
     fb, fp, ft, n = build_work_list(pt, sl, page_size)
-    return paged_attention_flat(
+    acc, m, l = paged_attention_flat(
         q, k_pages, v_pages, jnp.asarray(fb), jnp.asarray(fp),
         jnp.asarray(ft), jnp.asarray(n), jnp.asarray(sl),
         page_size=page_size,
     )
+    return (acc / jnp.maximum(l[..., None], 1e-30)).astype(q.dtype)

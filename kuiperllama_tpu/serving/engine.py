@@ -221,10 +221,13 @@ class Engine:
             admits.append((slot, req))
         if not admits:
             return
-        # one batched prefill for every admitted request; rows padded to a
-        # (batch, length) bucket to bound jit retraces
+        # one batched prefill for every admitted request. Rows ALWAYS pad to
+        # max_batch: prefill cost is weight-read-bound (independent of rows),
+        # while every distinct batch shape is a fresh jit compile — at 7B a
+        # ~60 s stall that would land mid-serving on the first admission
+        # wave smaller than the slot count.
         Ba = len(admits)
-        Bpad = min(_bucket(Ba, minimum=1), self.max_batch)
+        Bpad = self.max_batch
         T = min(_bucket(max(len(r.prompt_ids) for _, r in admits)),
                 self.max_len)
         toks = np.zeros((Bpad, T), np.int32)
