@@ -196,10 +196,11 @@ def decode_chunk_paged_inner(cfg: ModelConfig, params, token, pos,
                     k[:, 0].astype(kp_all.dtype), mode="drop")
                 vp_all = vp_all.at[layer_idx, write_page[:, None], :, lanes].set(
                     v[:, 0].astype(vp_all.dtype), mode="drop")
-            attn = paged_attention_flat(
+            acc, _, l = paged_attention_flat(
                 q[:, 0], kp_all, vp_all, flat_b, flat_page, flat_tok0,
                 n_items, seq_lens, page_size=page_size, layer_idx=layer_idx,
             )
+            attn = (acc / jnp.maximum(l[..., None], 1e-30)).astype(x.dtype)
             x = _mlp_residual(cfg, blocks, layer_idx, x, attn[:, None], B, 1,
                               H, hd, tp_axis)
             return (x, kp_all, vp_all), None
