@@ -190,19 +190,17 @@ def _selftest():
         k_all = rng.standard_normal((B, S, KH, hd)).astype(np.float32)
         v_all = rng.standard_normal((B, S, KH, hd)).astype(np.float32)
         mp = S // ps
-        kp = np.zeros((B * mp + 1, hd, KH * ps), np.float32)
-        vp = np.zeros((B * mp + 1, hd, KH * ps), np.float32)
+        kp = np.zeros((B * mp + 1, ps, KH * hd), np.float32)
+        vp = np.zeros((B * mp + 1, ps, KH * hd), np.float32)
         pt = np.zeros((B, mp), np.int32)
         for b in range(B):
             for pi in range(mp):
                 page = 1 + b * mp + pi
                 pt[b, pi] = page
-                kp[page] = np.transpose(
-                    k_all[b, pi * ps:(pi + 1) * ps], (2, 1, 0)
-                ).reshape(hd, KH * ps)
-                vp[page] = np.transpose(
-                    v_all[b, pi * ps:(pi + 1) * ps], (2, 1, 0)
-                ).reshape(hd, KH * ps)
+                kp[page] = k_all[b, pi * ps:(pi + 1) * ps].reshape(
+                    ps, KH * hd)
+                vp[page] = v_all[b, pi * ps:(pi + 1) * ps].reshape(
+                    ps, KH * hd)
         sl = np.asarray(lens, np.int32)
         got = np.asarray(paged_attention(
             jnp.asarray(q), jnp.asarray(kp), jnp.asarray(vp),

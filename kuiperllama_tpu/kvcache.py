@@ -6,18 +6,27 @@ allocated to sequences on demand, so memory scales with actual tokens, not
 max_seqs x max_len, and long-context attention reads only real pages
 (flash-decode kernel in ops/pallas/paged_attention.py).
 
-Layout (matches ops/pallas/paged_attention.py's matmul dims — all kv heads
-of a page contract in ONE MXU call):
-  k_pages, v_pages: [L, n_pages, hd, KH*page_size]
-One (layer, page) block across all kv heads is contiguous and is the DMA
-unit of the decode kernel (per-head DMAs are latency-bound). Tokens live on
-the LANE dimension for BOTH K and V — Mosaic requires a DMA'd ref's minor
-dim to be 128-aligned and head_dim is only 64 on TinyLlama/Qwen2.5-0.5B, so
-a [.., KH*ps, hd] V layout would be un-DMA-able; the kernel's p @ v matmul
-contracts over lanes instead. A token at (kv head h, in-page offset o) sits
-at lane h*page_size + o. The page table [max_seqs, max_pages_per_seq] int32
-and seq_lens [max_seqs] live on host (the scheduler owns them) and ship to
-device per step as scalars.
+Layout:
+  k_pages, v_pages: [L, n_pages, page_size, KH*hd]
+Tokens live on the SUBLANE dim, kv heads head-major on the LANE dim
+(token t of kv head h at [li, page, t % ps, h*hd : (h+1)*hd]). This makes a
+decode step's append ONE contiguous dynamic_update_slice per sequence —
+which XLA keeps in place through a scan carry. The obvious alternatives all
+lose: a lane-scattered token layout needs a jnp scatter, and a scatter
+whose result feeds a pallas_call gets copy-inserted (measured: full-pool
+copy per layer per step, 26x on the 7B engine); a [.., KH*ps, hd] layout is
+un-DMA-able when head_dim=64 (TinyLlama/Qwen2.5-0.5B — Mosaic requires the
+minor dim 128-aligned) while KH*hd is a 128-multiple for every family.
+Head-major lanes also keep the pool shardable over kv heads for tensor
+parallelism (parallel/sharded_paged.py).
+
+Page 0 is a reserved garbage sink: writes for padding rows or retired slots
+target page 0 instead of needing scatter drop semantics (DUS clamps
+out-of-range starts, so a 2**30 sentinel would silently corrupt the last
+real page). The allocator never hands out page 0.
+
+The page table [max_seqs, max_pages_per_seq] int32 and seq_lens [max_seqs]
+live on host (the scheduler owns them) and ship to device per step.
 """
 
 from __future__ import annotations
@@ -28,14 +37,15 @@ from typing import List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from .config import ModelConfig
 
 
 @dataclass
 class PagedKVCache:
-    k_pages: jax.Array  # [L, P, hd, KH*ps]
-    v_pages: jax.Array  # [L, P, hd, KH*ps]
+    k_pages: jax.Array  # [L, P, ps, KH*hd]
+    v_pages: jax.Array  # [L, P, ps, KH*hd]
     page_size: int
 
     @property
@@ -48,7 +58,7 @@ def init_paged_cache(cfg: ModelConfig, n_pages: int, page_size: int = 128,
                      ) -> PagedKVCache:
     KH = n_kv_heads or cfg.n_kv_heads
     hd = cfg.head_dim
-    shape = (cfg.n_layers, n_pages, hd, KH * page_size)
+    shape = (cfg.n_layers, n_pages, page_size, KH * hd)
     return PagedKVCache(
         k_pages=jnp.zeros(shape, dtype),
         v_pages=jnp.zeros(shape, dtype),
@@ -58,13 +68,14 @@ def init_paged_cache(cfg: ModelConfig, n_pages: int, page_size: int = 128,
 
 class PageAllocator:
     """Host-side free-list page allocator + page tables (the scheduler's
-    bookkeeping; nothing here touches the device)."""
+    bookkeeping; nothing here touches the device). Page 0 is reserved as
+    the garbage sink (see module docstring) and is never allocated."""
 
     def __init__(self, n_pages: int, page_size: int, max_seqs: int,
                  max_len: int):
         self.page_size = page_size
         self.max_pages_per_seq = -(-max_len // page_size)
-        self.free: List[int] = list(range(n_pages))
+        self.free: List[int] = list(range(1, n_pages))
         self.page_table = np.zeros((max_seqs, self.max_pages_per_seq), np.int32)
         self.seq_lens = np.zeros((max_seqs,), np.int32)
         self.owned: dict[int, List[int]] = {}
@@ -104,33 +115,32 @@ class PageAllocator:
     def free_seq(self, slot: int):
         for p in self.owned.pop(slot, []):
             self.free.append(p)
-        self.page_table[slot] = 0
+        self.page_table[slot] = 0  # page 0 = garbage sink for stale writes
         self.seq_lens[slot] = 0
 
 
 def write_tokens_paged(cache: PagedKVCache, k_new, v_new, slot_pages, offsets):
-    """Scatter new K/V into pages.
+    """Write new K/V into pages via per-token dynamic_update_slice (in-place
+    under jit when the pools are donated/carried).
 
     k_new/v_new: [L, B, T, KH, hd] from the layer forward.
-    slot_pages:  [B, T] int32 physical page per token; use a LARGE positive
-                 sentinel (e.g. 2**30) for masked tokens — mode="drop" only
-                 drops out-of-bounds indices, and negative values wrap.
+    slot_pages:  [B, T] int32 physical page per token; out-of-range values
+                 (e.g. a 2**30 padding sentinel) are redirected to the
+                 reserved garbage page 0.
     offsets:     [B, T] int32 in-page offset per token.
     """
     L, B, T, KH, hd = k_new.shape
-    ps = cache.page_size
-    pages = slot_pages.reshape(B * T)
-    # lane index of (kv head h, in-page offset o) is h*ps + o
-    lanes = (jnp.arange(KH, dtype=jnp.int32)[None, :] * ps
-             + offsets.reshape(B * T)[:, None])  # [B*T, KH]
-    # pages [L, P, hd, KH*ps]: advanced indices at dims 1 and 3
-    # (non-adjacent -> result dims lead): [B*T, KH, L, hd]
-    kn = jnp.transpose(k_new, (1, 2, 3, 0, 4)).reshape(B * T, KH, L, hd)
-    vn = jnp.transpose(v_new, (1, 2, 3, 0, 4)).reshape(B * T, KH, L, hd)
-    k_pages = cache.k_pages.at[:, pages[:, None], :, lanes].set(
-        kn.astype(cache.k_pages.dtype), mode="drop"
-    )
-    v_pages = cache.v_pages.at[:, pages[:, None], :, lanes].set(
-        vn.astype(cache.v_pages.dtype), mode="drop"
-    )
-    return PagedKVCache(k_pages, v_pages, cache.page_size)
+    kp, vp = cache.k_pages, cache.v_pages
+    P = kp.shape[1]
+    pages = jnp.where((slot_pages < 0) | (slot_pages >= P), 0, slot_pages)
+    kn = k_new.reshape(L, B, T, KH * hd).astype(kp.dtype)
+    vn = v_new.reshape(L, B, T, KH * hd).astype(vp.dtype)
+    zero = jnp.zeros((), jnp.int32)
+    for b in range(B):
+        for t in range(T):
+            start = (zero, pages[b, t], offsets[b, t], zero)
+            upd_k = kn[:, b, t].reshape(L, 1, 1, KH * hd)
+            upd_v = vn[:, b, t].reshape(L, 1, 1, KH * hd)
+            kp = lax.dynamic_update_slice(kp, upd_k, start)
+            vp = lax.dynamic_update_slice(vp, upd_v, start)
+    return PagedKVCache(kp, vp, cache.page_size)

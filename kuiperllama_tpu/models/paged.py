@@ -96,8 +96,11 @@ def prefill_paged_inner(cfg: ModelConfig, params, tokens, prompt_lens,
 
     tokens [B, T]; prompt_lens [B]; token_pages/token_offs [B, T] map each
     prompt position to its (physical page, in-page offset) — use a large
-    positive page sentinel (2**30) for padding rows/slots so the scatter
-    drops them. Returns (last_logits [B, vocab], k_pages, v_pages)."""
+    positive page sentinel (2**30) for padding rows/slots; those writes are
+    redirected to the reserved garbage page 0 (kvcache.py). token_offs is
+    accepted for interface stability but prefill positions always start at
+    0, so in-page offsets are implied by position. Returns
+    (last_logits [B, vocab], k_pages, v_pages)."""
     B, T = tokens.shape
     hd = cfg.head_dim
     x = params["tok_emb"][tokens]
@@ -109,22 +112,38 @@ def prefill_paged_inner(cfg: ModelConfig, params, tokens, prompt_lens,
 
     blocks = params["blocks"]
 
+    # page of each ps-aligned prompt chunk (pool layout [L, P, ps, KH*hd]:
+    # tokens on sublanes — a chunk's K/V is ONE contiguous DUS per row,
+    # which XLA keeps in place; see kvcache.py). Chunks past a prompt's end
+    # carry the pad sentinel -> write to the garbage page 0. In-chunk slots
+    # past prompt_len write into the row's own page at future decode
+    # offsets — decode overwrites them before they become visible, and the
+    # kernel masks on seq_lens meanwhile.
+    ps = k_pages.shape[2]
+    P = k_pages.shape[1]
+    chunk_pages = token_pages[:, ::ps]  # [B, n_chunks]
+    chunk_pages = jnp.where(
+        (chunk_pages < 0) | (chunk_pages >= P), 0, chunk_pages)
+    n_chunks = chunk_pages.shape[1]
+
     def layer_body(carry, layer_idx):
         x, kp_all, vp_all = carry  # cache in carry: aliases in place
         q, k, v, H, KH = _qkv(cfg, blocks, layer_idx, x, s, c, B, T)
         # causal self-attention over the prompt itself (rows independent)
         attn = attention_dense(q, k, v, positions, kv_mask)
-        # scatter prompt K/V into pages (kvcache.py layout: lane of
-        # (kv head h, offset o) is h*ps + o); k/v are [B, T, KH, hd].
-        # Scatter into the FULL [L, P, hd, KH*ps] pool (layer in the index)
-        # rather than slice+update, which would copy a layer of pages.
-        ps = kp_all.shape[-1] // KH
-        lanes = (jnp.arange(KH, dtype=jnp.int32)[None, None, :] * ps
-                 + token_offs[:, :, None])  # [B, T, KH]
-        kp_all = kp_all.at[layer_idx, token_pages[:, :, None], :, lanes].set(
-            k.astype(kp_all.dtype), mode="drop")
-        vp_all = vp_all.at[layer_idx, token_pages[:, :, None], :, lanes].set(
-            v.astype(vp_all.dtype), mode="drop")
+        k2 = k.reshape(B, T, KH * hd).astype(kp_all.dtype)
+        v2 = v.reshape(B, T, KH * hd).astype(vp_all.dtype)
+        zero = jnp.zeros((), jnp.int32)
+        for b in range(B):
+            for ci in range(n_chunks):
+                tc = min(ps, T - ci * ps)
+                if tc <= 0:
+                    break
+                start = (layer_idx, chunk_pages[b, ci], zero, zero)
+                upd_k = k2[b, ci * ps:ci * ps + tc][None, None]
+                upd_v = v2[b, ci * ps:ci * ps + tc][None, None]
+                kp_all = lax.dynamic_update_slice(kp_all, upd_k, start)
+                vp_all = lax.dynamic_update_slice(vp_all, upd_v, start)
         x = _mlp_residual(cfg, blocks, layer_idx, x, attn, B, T, H, hd,
                           tp_axis)
         return (x, kp_all, vp_all), None
@@ -186,16 +205,22 @@ def decode_chunk_paged_inner(cfg: ModelConfig, params, token, pos,
         def layer_body(carry, layer_idx):
             x, kp_all, vp_all = carry
             q, k, v, H, KH = _qkv(cfg, blocks, layer_idx, x, s, c, B, 1)
-            lanes = (jnp.arange(KH, dtype=jnp.int32)[None, :] * page_size
-                     + write_off[:, None])  # [B, KH]
-            # scatter into / attend over the FULL stacked pools (layer in
-            # the scatter index and prefetched into the kernel) — slicing a
-            # layer of pages out first would copy it every step
+            # append each row's new token K/V: pool layout [L, P, ps, KH*hd]
+            # puts tokens on sublanes, so this is ONE contiguous
+            # dynamic_update_slice per row into the FULL stacked pool —
+            # in place through the scan carry (a scatter here copy-inserts
+            # the whole pool per layer; see kvcache.py). Retired slots'
+            # page_table rows are 0 = the reserved garbage page.
             if not _DEBUG_SKIP_WRITES:
-                kp_all = kp_all.at[layer_idx, write_page[:, None], :, lanes].set(
-                    k[:, 0].astype(kp_all.dtype), mode="drop")
-                vp_all = vp_all.at[layer_idx, write_page[:, None], :, lanes].set(
-                    v[:, 0].astype(vp_all.dtype), mode="drop")
+                k2 = k.reshape(B, 1, 1, KH * hd).astype(kp_all.dtype)
+                v2 = v.reshape(B, 1, 1, KH * hd).astype(vp_all.dtype)
+                for b in range(B):
+                    start = (layer_idx, write_page[b], write_off[b],
+                             jnp.zeros((), jnp.int32))
+                    kp_all = lax.dynamic_update_slice(kp_all, k2[b][None],
+                                                      start)
+                    vp_all = lax.dynamic_update_slice(vp_all, v2[b][None],
+                                                      start)
             acc, _, l = paged_attention_flat(
                 q[:, 0], kp_all, vp_all, flat_b, flat_page, flat_tok0,
                 n_items, seq_lens, page_size=page_size, layer_idx=layer_idx,

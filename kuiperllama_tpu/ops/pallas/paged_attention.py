@@ -3,28 +3,35 @@
 TPU-native replacement for the reference's decode MHA kernel
 (kuiper/source/op/kernels/cuda/mha_kernel.cu: one CUDA block per head
 serially scanning cache slots 0..pos). Design, driven by how TPUs actually
-run Pallas grids (sequentially, one core) and by DMA latency:
+run Pallas grids (sequentially, one core), by DMA latency, and by what XLA
+can update IN PLACE inside a scan:
 
+  * Page layout is [P, ps, KH*hd] — tokens on the SUBLANE dim, kv heads
+    head-major on the LANE dim. This is the load-bearing choice: a decode
+    step appends one token per sequence, and with tokens on sublanes that
+    write is a single contiguous dynamic_update_slice per row, which XLA
+    keeps in place through the scan carry. Any lane-scattered layout forces
+    a jnp/lax scatter, and a scatter whose result feeds a pallas_call gets
+    copy-inserted — measured 13.4 ms per layer (a full copy of a 7B pool)
+    vs 0.06 ms for the DUS form, a 26x whole-engine regression.
+    The lane dim KH*hd is a multiple of 128 for every supported family
+    (Mosaic requires a DMA'd ref's minor dim 128-aligned; hd alone is 64 on
+    TinyLlama/Qwen2.5-0.5B, so heads are folded into lanes, not sublanes).
   * The scheduler flattens the batch's pages into ONE work list
     (flat_b[i], flat_page[i]) so the kernel is a single program whose DMA
     pipeline streams continuously across sequence boundaries — per-sequence
     grid programs would drain/refill the pipeline at every boundary.
-  * Pages pack ALL kv heads into the matmul dims so one page is two MXU
-    calls regardless of head count (the round-1 kernel looped Python-side
-    over kv heads, issuing KH tiny [kv_mul, hd] x [hd, ps] matmuls —
-    32 unrolled M=1 matmuls per page at Llama-2-7B's MHA geometry):
-      k_pages [P, hd, KH*ps]:  scores = q [H, hd] @ k            -> [H, KH*ps]
-      v_pages [P, hd, KH*ps]:  out    = p [H, KH*ps] @ v^T(lanes) -> [H, hd]
-    A head only attends its own kv head's ps-column block; the other
-    (KH-1)*ps columns are masked to -inf (block-diagonal mask). The masked
-    FLOPs are free — at M=H these matmuls are DMA-bound, and one [H, ...]
-    MXU call beats KH one-row calls by ~KH on the systolic array.
-  * K and V use the SAME layout: tokens-per-kv-head on the LANE dim.
-    Mosaic requires a DMA'd ref's minor dim to be 128-aligned, so a
-    [P, KH*ps, hd] V layout is un-DMA-able when hd=64 (TinyLlama,
-    Qwen2.5-0.5B); instead V stays [P, hd, KH*ps] and the p @ v
-    contraction runs over the LANE dim of both operands (a transposed-rhs
-    dot_general the MXU handles natively).
+  * All kv heads of a page contract in ONE MXU call each way (the round-1
+    kernel looped Python-side over kv heads, issuing KH tiny matmuls — 32
+    unrolled M=1 matmuls per page at Llama-2-7B's MHA geometry):
+      scores = q_exp [H, KH*hd] @ k_page^T [ps, KH*hd]  -> [H, ps]
+      out    = p     [H, ps]    @ v_page   [ps, KH*hd]  -> [H, KH*hd]
+    where q_exp places head h's query in its own kv head's hd-lane block
+    and EXACT ZEROS elsewhere — cross-head lanes contribute 0 to the dot,
+    so no -inf block masking is needed; only the seq_len token mask. The
+    head-block of the output accumulator is selected once per sequence at
+    finalize. The zero-block FLOPs are free: at M=H these matmuls are
+    DMA-bound, and one [H, ...] MXU call beats KH one-row calls by ~KH.
   * Online softmax (flash running max/sum) across the page list; a
     sequence's accumulators finalize into the output when the work list
     moves to the next sequence (flat_b is sorted).
@@ -35,9 +42,9 @@ run Pallas grids (sequentially, one core) and by DMA latency:
 
 Inputs:
   q          [B, H, hd]           (decode: one token per sequence)
-  k_pages    [P, hd, KH*ps]       (one layer's page pool, K laid out
-                                   head-major along lanes)
-  v_pages    [P, KH*ps, hd]
+  k_pages    [P, ps, KH*hd]       (one layer's page pool; token t of kv
+                                   head h sits at [page, t % ps, h*hd:...])
+  v_pages    [P, ps, KH*hd]       (same layout)
   page_table [B, max_pages] int32
   seq_lens   [B] int32            (valid tokens incl. the current one)
 """
@@ -67,8 +74,7 @@ def _kernel(
     seq_lens_ref,
     # inputs
     q_ref, kp_ref, vp_ref,
-    # outputs (UNNORMALIZED flash stats — callers merge/normalize; the
-    # decode path flash-merges these with a dense tail-buffer partial)
+    # outputs (UNNORMALIZED flash stats — callers merge/normalize)
     o_ref, m_ref, l_ref,
     # scratch
     kbuf, vbuf, sems, *, page_size: int, n_kv_heads: int, kv_mul: int,
@@ -78,17 +84,18 @@ def _kernel(
     n_items = n_items_ref[0]
     B, H, hd = q_ref.shape
     ps, KH = page_size, n_kv_heads
+    kv_dim = KH * hd
     scale = jax.lax.rsqrt(jnp.float32(hd))
 
-    # block-diagonal ownership mask: head h only sees kv head h // kv_mul's
-    # ps-column block. Static — computed once, lives in registers/VMEM.
-    col = jax.lax.broadcasted_iota(jnp.int32, (H, KH * ps), 1)
-    head = jax.lax.broadcasted_iota(jnp.int32, (H, KH * ps), 0)
-    own_block = (col // ps) == (head // kv_mul)
-    col_off = col % ps  # token offset of each column within the page
+    # static ownership mask: head h's query occupies lanes of kv head
+    # h // kv_mul; everything else is EXACT ZERO (replaces block masking)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (H, kv_dim), 1)
+    head = jax.lax.broadcasted_iota(jnp.int32, (H, kv_dim), 0)
+    own_lane = (lane // hd) == (head // kv_mul)
+    tok = jax.lax.broadcasted_iota(jnp.int32, (H, ps), 1)  # in-page offset
 
     def dma(slot, i):
-        # pools are the FULL stacked [L, P, hd, KH*ps] buffers; indexing the
+        # pools are the FULL stacked [L, P, ps, KH*hd] buffers; indexing the
         # layer here (instead of slicing before the call) avoids
         # materializing a copy of a whole layer of pages per decode step
         page = flat_page_ref[i]
@@ -106,8 +113,27 @@ def _kernel(
             kd.start()
             vd.start()
 
+    # static fold matrix [KH*hd, hd]: sel[l, d] = (l % hd == d). With acc
+    # masked to its ownership lanes, acc_m @ sel extracts each head's own
+    # hd block in one MXU call (exactly one nonzero term per output —
+    # Mosaic-friendly vs per-block lane slices, which need 128 alignment)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (kv_dim, hd), 0) % hd
+           == jax.lax.broadcasted_iota(jnp.int32, (kv_dim, hd), 1)
+           ).astype(jnp.float32)
+
+    def finalize(b, m, l, acc):
+        acc_m = jnp.where(own_lane, acc, 0.0)
+        out = jax.lax.dot_general(
+            acc_m, sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        o_ref[b] = out.astype(o_ref.dtype)
+        m_ref[b] = m[:, 0]
+        l_ref[b] = l[:, 0]
+
     def body(i, carry):
-        m, l, acc = carry  # [H, 1] x2 fp32, [H, hd] fp32
+        m, l, acc = carry  # [H, 1] x2 fp32, [H, KH*hd] fp32
         slot = jax.lax.rem(i, n_slots)
         ahead = i + n_slots - 1
 
@@ -123,31 +149,36 @@ def _kernel(
 
         b = flat_b_ref[i]
         seq_len = seq_lens_ref[b]
-        valid = jnp.logical_and(own_block, flat_tok0_ref[i] + col_off < seq_len)
+        valid = flat_tok0_ref[i] + tok < seq_len  # [H, ps]
 
+        # expand q into its ownership lanes (zeros elsewhere): [H, KH*hd].
+        # Tile via lane concat (Mosaic-friendly; avoids a 3D reshape).
         q = q_ref[b]  # [H, hd] native dtype
+        q_exp = jnp.where(own_lane, jnp.concatenate([q] * KH, axis=1),
+                          jnp.zeros((), q.dtype))
         # bf16 x bf16 -> fp32 accumulation is exact for bf16 inputs; fp32
         # inputs (tests / fp32 caches) must request HIGHEST or the TPU
         # default runs the fp32 dot through bf16 passes (~1e-3 error)
         prec = (jax.lax.Precision.HIGHEST
                 if q_ref.dtype == jnp.float32 else None)
+        # contract lanes of both operands (transposed-rhs dot): [H, ps]
         s = jax.lax.dot_general(
-            q, kbuf[slot].astype(q.dtype), (((1,), (0,)), ((), ())),
+            q_exp, kbuf[slot].astype(q.dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
-        ) * scale  # [H, KH*ps]
+        ) * scale
         s = jnp.where(valid, s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m - m_new)
         l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-        # p [H, khps] x v [hd, khps] contracting lanes (transposed rhs)
+        # p [H, ps] x v [ps, KH*hd] -> [H, KH*hd]
         pv = jax.lax.dot_general(
-            p.astype(vbuf.dtype), vbuf[slot], (((1,), (1,)), ((), ())),
+            p.astype(vbuf.dtype), vbuf[slot], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=(jax.lax.Precision.HIGHEST
                        if vbuf.dtype == jnp.float32 else None),
-        )  # [H, hd]
+        )
         acc = acc * corr + pv
         m, l = m_new, l_new
 
@@ -159,9 +190,7 @@ def _kernel(
 
         @pl.when(is_last)
         def _():
-            o_ref[b] = acc.astype(o_ref.dtype)
-            m_ref[b] = m[:, 0]
-            l_ref[b] = l[:, 0]
+            finalize(b, m, l, acc)
 
         fresh = jnp.where(is_last, 0.0, 1.0)
         m = jnp.where(is_last, NEG_INF, m)
@@ -171,7 +200,7 @@ def _kernel(
 
     m0 = jnp.full((H, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((H, 1), jnp.float32)
-    acc0 = jnp.zeros((H, hd), jnp.float32)
+    acc0 = jnp.zeros((H, kv_dim), jnp.float32)
     jax.lax.fori_loop(0, n_items, body, (m0, l0, acc0))
 
 
@@ -214,31 +243,35 @@ def paged_attention_flat(q, k_pages, v_pages, flat_b, flat_page, flat_tok0,
                          n_items, seq_lens, page_size: int = 128,
                          n_kv_heads: int | None = None, layer_idx=None):
     """q [B, H, hd] against paged K/V via a flat work list (see
-    build_work_list). k_pages/v_pages are [P, hd, KH*ps] for one layer, or
-    the FULL stacked [L, P, hd, KH*ps] pools with `layer_idx` given —
+    build_work_list). k_pages/v_pages are [P, ps, KH*hd] for one layer, or
+    the FULL stacked [L, P, ps, KH*hd] pools with `layer_idx` given —
     inside a lax.scan over layers ALWAYS pass the stacked pools: slicing
     the pool first materializes a copy of every page (custom-call operands
     cannot fuse a dynamic-slice).
 
     Returns UNNORMALIZED flash stats (acc [B, H, hd] fp32, m [B, H] fp32,
-    l [B, H] fp32): out = acc / l, and partials from another source (the
-    decode tail buffer) merge via merge_flash_parts. Rows with zero pages
-    in the work list are NOT written — callers must mask on seq_lens > 0."""
+    l [B, H] fp32): out = acc / l, and partials from another source merge
+    via merge_flash_parts. Rows with zero pages in the work list are NOT
+    written — callers must mask on seq_lens > 0."""
     B, H, hd = q.shape
     if k_pages.ndim == 3:
         k_pages = k_pages[None]
         v_pages = v_pages[None]
         layer_idx = jnp.zeros((), jnp.int32)
     assert layer_idx is not None, "stacked pools need layer_idx"
-    L, P, hd2, khps = k_pages.shape
-    assert hd2 == hd, (k_pages.shape, q.shape)
+    L, P, ps2, kv_dim = k_pages.shape
+    assert ps2 == page_size, (k_pages.shape, page_size)
     assert v_pages.shape == k_pages.shape, (v_pages.shape, k_pages.shape)
-    KH = n_kv_heads or khps // page_size
-    assert KH * page_size == khps, (KH, page_size, khps)
+    KH = n_kv_heads or kv_dim // hd
+    assert KH * hd == kv_dim, (KH, hd, kv_dim)
+    # compiled Mosaic DMAs need a 128-aligned minor dim; the interpreter
+    # (CPU tests, tiny geometries) has no such constraint
+    assert kv_dim % 128 == 0 or _interpret(), \
+        f"lane dim KH*hd={kv_dim} must be 128-aligned on TPU"
     kv_mul = H // KH
     max_items = flat_b.shape[0]
-    n_slots = _n_slots(hd * khps * k_pages.dtype.itemsize,
-                       khps * hd * v_pages.dtype.itemsize)
+    n_slots = _n_slots(ps2 * kv_dim * k_pages.dtype.itemsize,
+                       ps2 * kv_dim * v_pages.dtype.itemsize)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -252,8 +285,8 @@ def paged_attention_flat(q, k_pages, v_pages, flat_b, flat_page, flat_tok0,
                    pl.BlockSpec((B, H), lambda *_: (0, 0)),
                    pl.BlockSpec((B, H), lambda *_: (0, 0))),
         scratch_shapes=[
-            pltpu.VMEM((n_slots, hd, khps), k_pages.dtype),
-            pltpu.VMEM((n_slots, hd, khps), v_pages.dtype),
+            pltpu.VMEM((n_slots, ps2, kv_dim), k_pages.dtype),
+            pltpu.VMEM((n_slots, ps2, kv_dim), v_pages.dtype),
             pltpu.SemaphoreType.DMA((n_slots, 2)),
         ],
     )

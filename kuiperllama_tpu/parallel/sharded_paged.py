@@ -9,7 +9,7 @@ partition a pallas_call, manual SPMD can.
 Sharding layout:
   * weights: Megatron TP (parallel/shardings.py) — wq/wk/wv/w1/w3/lm_head
     column-sharded, wo/w2 row-sharded (psum inside the layer body);
-  * page pools [L, P, hd, KH*ps]: sharded over the LANE dim, which is
+  * page pools [L, P, ps, KH*hd]: sharded over the LANE dim, which is
     kv-head-major — each shard owns a contiguous block of kv heads of every
     page, so the host's page tables / flat work lists stay global and
     replicate unchanged;
@@ -36,7 +36,7 @@ from ..models.paged import decode_chunk_paged_inner, prefill_paged_inner
 from .mesh import MODEL_AXIS
 from .shardings import param_pspec_tree, validate_tp
 
-PAGE_SPEC = P(None, None, None, MODEL_AXIS)  # [L, P, hd, KH*ps] over kv heads
+PAGE_SPEC = P(None, None, None, MODEL_AXIS)  # [L, P, ps, KH*hd] over kv heads
 _REP = P()
 
 

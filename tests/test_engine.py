@@ -118,10 +118,10 @@ def test_paged_engine_page_recycling(model):
 
     cfg, params = model
     eng = PagedEngine(cfg, params, max_batch=2, max_len=64, chunk=4,
-                      cache_dtype=jnp.float32, page_size=128, n_pages=3)
+                      cache_dtype=jnp.float32, page_size=128, n_pages=4)
     reqs = [Request(prompt_ids=[i + 1, i + 2], max_new_tokens=5)
             for i in range(5)]
     done = eng.run(reqs)
     assert len(done) == 5
     assert all(len(r.out_ids) == 5 for r in done)
-    assert eng.allocator.n_free_pages == 3
+    assert eng.allocator.n_free_pages == 3  # page 0 reserved

@@ -41,19 +41,19 @@ def test_paged_matches_dense(rng, lens, kv_mul):
     v_all = rng.standard_normal((B, S, KH, hd)).astype(np.float32)
 
     # build page pool: sequential pages per sequence
-    # (layout per kvcache.py: k AND v are [P, hd, KH*ps])
+    # (layout per kvcache.py: k AND v are [P, ps, KH*hd])
     n_pages = B * max_pages + 1
-    k_pages = np.zeros((n_pages, hd, KH * ps), np.float32)
-    v_pages = np.zeros((n_pages, hd, KH * ps), np.float32)
+    k_pages = np.zeros((n_pages, ps, KH * hd), np.float32)
+    v_pages = np.zeros((n_pages, ps, KH * hd), np.float32)
     page_table = np.zeros((B, max_pages), np.int32)
     for b in range(B):
         for pi in range(max_pages):
             page = 1 + b * max_pages + pi  # page 0 left as garbage guard
             page_table[b, pi] = page
             chunk = k_all[b, pi * ps:(pi + 1) * ps]  # [ps, KH, hd]
-            k_pages[page] = np.transpose(chunk, (2, 1, 0)).reshape(hd, KH * ps)
-            v_pages[page] = np.transpose(
-                v_all[b, pi * ps:(pi + 1) * ps], (2, 1, 0)).reshape(hd, KH * ps)
+            k_pages[page] = chunk.reshape(ps, KH * hd)
+            v_pages[page] = v_all[b, pi * ps:(pi + 1) * ps].reshape(
+                ps, KH * hd)
 
     seq_lens = np.asarray(lens, np.int32)
     got = np.asarray(paged_attention(
@@ -74,17 +74,17 @@ def test_paged_mha_7b_geometry(rng):
     k_all = rng.standard_normal((B, S, KH, hd)).astype(np.float32)
     v_all = rng.standard_normal((B, S, KH, hd)).astype(np.float32)
     max_pages = S // ps
-    k_pages = np.zeros((B * max_pages + 1, hd, KH * ps), np.float32)
-    v_pages = np.zeros((B * max_pages + 1, hd, KH * ps), np.float32)
+    k_pages = np.zeros((B * max_pages + 1, ps, KH * hd), np.float32)
+    v_pages = np.zeros((B * max_pages + 1, ps, KH * hd), np.float32)
     page_table = np.zeros((B, max_pages), np.int32)
     for b in range(B):
         for pi in range(max_pages):
             page = 1 + b * max_pages + pi
             page_table[b, pi] = page
             chunk = k_all[b, pi * ps:(pi + 1) * ps]
-            k_pages[page] = np.transpose(chunk, (2, 1, 0)).reshape(hd, KH * ps)
-            v_pages[page] = np.transpose(
-                v_all[b, pi * ps:(pi + 1) * ps], (2, 1, 0)).reshape(hd, KH * ps)
+            k_pages[page] = chunk.reshape(ps, KH * hd)
+            v_pages[page] = v_all[b, pi * ps:(pi + 1) * ps].reshape(
+                ps, KH * hd)
     seq_lens = np.asarray(lens, np.int32)
     got = np.asarray(paged_attention(
         jnp.asarray(q), jnp.asarray(k_pages), jnp.asarray(v_pages),
@@ -95,7 +95,8 @@ def test_paged_mha_7b_geometry(rng):
 
 
 def test_page_allocator():
-    al = PageAllocator(n_pages=8, page_size=4, max_seqs=4, max_len=16)
+    # page 0 is the reserved garbage sink -> 8 usable pages
+    al = PageAllocator(n_pages=9, page_size=4, max_seqs=4, max_len=16)
     assert al.alloc_seq(0, 5)  # 2 pages
     assert al.alloc_seq(1, 4)  # 1 page
     assert al.n_free_pages == 5
@@ -123,13 +124,14 @@ def test_write_tokens_paged(rng):
     offs = np.asarray([[2, 3, 0], [0, 1, 2]], np.int32)
     cache = write_tokens_paged(cache, jnp.asarray(k_new), jnp.asarray(v_new),
                                jnp.asarray(pages), jnp.asarray(offs))
-    # k/v [L, P, hd, KH*ps]: token (page, off) of kv head h at lane h*ps+off
-    kp = np.asarray(cache.k_pages).reshape(L, 6, hd, KH, ps)
+    # k/v [L, P, ps, KH*hd]: token (page, off) of kv head h at
+    # [page, off, h*hd:(h+1)*hd]
+    kp = np.asarray(cache.k_pages).reshape(L, 6, ps, KH, hd)
     def at(pool, page, off):  # -> [L, KH, hd]
-        return np.transpose(pool[:, page, :, :, off], (0, 2, 1))
+        return pool[:, page, off]
     np.testing.assert_allclose(at(kp, 1, 2), k_new[:, 0, 0], rtol=1e-6)
     np.testing.assert_allclose(at(kp, 1, 3), k_new[:, 0, 1], rtol=1e-6)
     np.testing.assert_allclose(at(kp, 2, 0), k_new[:, 0, 2], rtol=1e-6)
     np.testing.assert_allclose(at(kp, 5, 1), k_new[:, 1, 1], rtol=1e-6)
-    vp = np.asarray(cache.v_pages).reshape(L, 6, hd, KH, ps)
+    vp = np.asarray(cache.v_pages).reshape(L, 6, ps, KH, hd)
     np.testing.assert_allclose(at(vp, 5, 2), v_new[:, 1, 2], rtol=1e-6)
