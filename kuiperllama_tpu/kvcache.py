@@ -16,9 +16,11 @@ lose: a lane-scattered token layout needs a jnp scatter, and a scatter
 whose result feeds a pallas_call gets copy-inserted (measured: full-pool
 copy per layer per step, 26x on the 7B engine); a [.., KH*ps, hd] layout is
 un-DMA-able when head_dim=64 (TinyLlama/Qwen2.5-0.5B — Mosaic requires the
-minor dim 128-aligned) while KH*hd is a 128-multiple for every family.
-Head-major lanes also keep the pool shardable over kv heads for tensor
-parallelism (parallel/sharded_paged.py).
+minor dim 128-aligned) while KH*hd is a 128-multiple for every family
+UNSHARDED. Head-major lanes also keep the pool shardable over kv heads for
+tensor parallelism (parallel/sharded_paged.py) — but a shard's lane block is
+(KH/tp)*hd, which must itself stay 128-aligned: hd=64 families support tp
+only up to KH*hd/128, enforced by parallel/shardings.validate_tp.
 
 Page 0 is a reserved garbage sink: writes for padding rows or retired slots
 target page 0 instead of needing scatter drop semantics (DUS clamps
@@ -122,6 +124,12 @@ class PageAllocator:
 def write_tokens_paged(cache: PagedKVCache, k_new, v_new, slot_pages, offsets):
     """Write new K/V into pages via per-token dynamic_update_slice (in-place
     under jit when the pools are donated/carried).
+
+    Decode/test-scale ONLY: the double Python loop unrolls 2*B*T DUS ops at
+    trace time — pathological compile time and HLO size at prefill-sized T.
+    The production prefill write path is the page-granular fori_loop in
+    models/paged.prefill_paged_inner; decode's per-token appends live in
+    models/paged.decode_chunk_paged_inner.
 
     k_new/v_new: [L, B, T, KH, hd] from the layer forward.
     slot_pages:  [B, T] int32 physical page per token; out-of-range values

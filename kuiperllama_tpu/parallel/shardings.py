@@ -71,6 +71,29 @@ def validate_tp(cfg: ModelConfig, tp: int):
     )
     assert cfg.n_heads % tp == 0 and cfg.hidden_dim % tp == 0
     assert cfg.vocab_size % tp == 0, (cfg.vocab_size, tp)
+    # The paged pool's lane dim is KV-head-major (kvcache.py): sharding over
+    # kv heads leaves each shard a (KH/tp)*hd lane block, and compiled Mosaic
+    # DMAs need the minor dim 128-aligned. hd=64 families (TinyLlama-1.1B,
+    # Qwen2.5-0.5B) therefore support tp only up to KH*hd/128, NOT up to KH.
+    # Fail at setup: the interpreter (CPU CI) would happily run geometries
+    # that can never compile on TPU, surfacing the error at first decode in
+    # production instead.
+    local_lane = (cfg.n_kv_heads // tp) * cfg.head_dim
+    if local_lane % 128 != 0:
+        msg = (
+            f"tp={tp} leaves a per-shard KV lane dim of {local_lane} "
+            f"(= n_kv_heads/tp * head_dim = {cfg.n_kv_heads}/{tp} * "
+            f"{cfg.head_dim}); compiled Mosaic DMAs need a 128-aligned "
+            f"minor dim, so this tp degree cannot run on TPU hardware "
+            f"(max tp for this model: "
+            f"{max(1, cfg.n_kv_heads * cfg.head_dim // 128)})"
+        )
+        if jax.default_backend() == "tpu":
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg + " — continuing only because this backend runs "
+                      "the Pallas interpreter", stacklevel=2)
 
 
 def shard_params(params, mesh, cfg: ModelConfig):

@@ -51,11 +51,24 @@ def time_fetch(fn, *args, reps=4):
     return best
 
 
-def marginal(mk_fn, args, lo: int, hi: int) -> float:
-    """Per-iteration seconds: (t(hi) - t(lo)) / (hi - lo)."""
-    t_lo = time_fetch(mk_fn(lo), *args)
-    t_hi = time_fetch(mk_fn(hi), *args)
-    return (t_hi - t_lo) / (hi - lo)
+def marginal(mk_fn, args, lo: int, hi: int, rounds: int = 3) -> float:
+    """Per-iteration seconds: median over `rounds` of
+    (t(hi) - t(lo)) / (hi - lo).
+
+    The tunnel's fixed dispatch+fetch cost varies by tens of ms between
+    calls; a single (lo, hi) pair can come out wildly wrong (even negative).
+    Each round re-times BOTH trip counts back to back (interleaved, so slow
+    drift cancels) and the median round is reported. hi should be >= 4x lo
+    so the marginal dwarfs the noise."""
+    f_lo, f_hi = mk_fn(lo), mk_fn(hi)
+    time_fetch(f_lo, *args, reps=1)  # compile both before timing
+    time_fetch(f_hi, *args, reps=1)
+    ests = []
+    for _ in range(rounds):
+        t_lo = time_fetch(f_lo, *args)
+        t_hi = time_fetch(f_hi, *args)
+        ests.append((t_hi - t_lo) / (hi - lo))
+    return float(np.median(ests))
 
 
 def probe_read(mb_per_buf: int = 256, n_bufs: int = 4):
@@ -73,7 +86,7 @@ def probe_read(mb_per_buf: int = 256, n_bufs: int = 4):
             return lax.fori_loop(0, reps, body, jnp.float32(0))
         return f
 
-    per = marginal(mk, (bufs,), 8, 40)
+    per = marginal(mk, (bufs,), 8, 64)
     return mb_per_buf * (1 << 20) / per / 1e9
 
 
@@ -97,7 +110,7 @@ def probe_gemv(K: int = 4096, N: int = 11008, M: int = 8, n_bufs: int = 4,
             return lax.fori_loop(0, reps, body, v)
         return f
 
-    per = marginal(mk, (v, ws), 8, 40)
+    per = marginal(mk, (v, ws), 8, 64)
     return K * N * jnp.dtype(dtype).itemsize / per / 1e9
 
 
@@ -114,7 +127,7 @@ def probe_mxu(D: int = 4096):
             return lax.fori_loop(0, reps, body, c)
         return f
 
-    per = marginal(mk, (a,), 16, 64)
+    per = marginal(mk, (a,), 16, 128)
     return 2 * D**3 / per / 1e12
 
 
