@@ -85,6 +85,48 @@ def _mlp_residual(cfg, blocks, li, x, attn_out, B, T, H, hd, tp_axis=None):
     return x + maybe_psum(linear_layered(act, blocks["w2"], li))
 
 
+def _write_chunk_pages(layer_idx, kp_all, vp_all, k2, v2, chunk_pages, ps):
+    """Write [B, T, kv_dim] K/V into pages, page-granular.
+
+    chunk_pages [B, n_chunks] is the physical page of each ps-wide chunk of
+    the T axis (already clamped into range; garbage writes target page 0).
+    Whole-page chunks stream through ONE fori_loop of dynamic_update_slice
+    ops (in place through the loop carry); a partial tail chunk (T not a
+    page multiple — test-sized only, the engine buckets T) unrolls per row.
+    """
+    B, T, _ = k2.shape
+    n_chunks = chunk_pages.shape[1]
+    n_full = min(T // ps, n_chunks)
+    tail = T - n_full * ps if n_full < n_chunks else 0
+    zero = jnp.zeros((), jnp.int32)
+    if n_full:
+        k2f = k2[:, : n_full * ps].reshape(B, n_full, ps, k2.shape[-1])
+        v2f = v2[:, : n_full * ps].reshape(B, n_full, ps, v2.shape[-1])
+
+        def body(i, kv):
+            kp, vp = kv
+            b, ci = i // n_full, i % n_full
+            start = (layer_idx, chunk_pages[b, ci], zero, zero)
+            upd_k = lax.dynamic_index_in_dim(
+                lax.dynamic_index_in_dim(k2f, b, 0, keepdims=False),
+                ci, 0, keepdims=False)[None, None]
+            upd_v = lax.dynamic_index_in_dim(
+                lax.dynamic_index_in_dim(v2f, b, 0, keepdims=False),
+                ci, 0, keepdims=False)[None, None]
+            return (lax.dynamic_update_slice(kp, upd_k, start),
+                    lax.dynamic_update_slice(vp, upd_v, start))
+
+        kp_all, vp_all = lax.fori_loop(0, B * n_full, body, (kp_all, vp_all))
+    if tail:
+        for b in range(B):  # bounded by max_batch
+            start = (layer_idx, chunk_pages[b, n_full], zero, zero)
+            upd_k = k2[b, n_full * ps:][None, None]
+            upd_v = v2[b, n_full * ps:][None, None]
+            kp_all = lax.dynamic_update_slice(kp_all, upd_k, start)
+            vp_all = lax.dynamic_update_slice(vp_all, upd_v, start)
+    return kp_all, vp_all
+
+
 def prefill_paged_inner(cfg: ModelConfig, params, tokens, prompt_lens,
                         k_pages, v_pages, token_pages, token_offs,
                         tp_axis=None, logits_all_gather: bool = True):
@@ -125,7 +167,11 @@ def prefill_paged_inner(cfg: ModelConfig, params, tokens, prompt_lens,
     chunk_pages = jnp.where(
         (chunk_pages < 0) | (chunk_pages >= P), 0, chunk_pages)
     n_chunks = chunk_pages.shape[1]
-
+    # page-granular writes: n_full whole-page chunks stream through ONE
+    # fori_loop of dynamic_update_slice ops (in place through the loop
+    # carry), plus an unrolled partial tail when T is not a page multiple
+    # (the engine buckets T to powers of two, so T >= ps is always a page
+    # multiple in production — the tail exists for test-sized T).
     def layer_body(carry, layer_idx):
         x, kp_all, vp_all = carry  # cache in carry: aliases in place
         q, k, v, H, KH = _qkv(cfg, blocks, layer_idx, x, s, c, B, T)
@@ -133,17 +179,8 @@ def prefill_paged_inner(cfg: ModelConfig, params, tokens, prompt_lens,
         attn = attention_dense(q, k, v, positions, kv_mask)
         k2 = k.reshape(B, T, KH * hd).astype(kp_all.dtype)
         v2 = v.reshape(B, T, KH * hd).astype(vp_all.dtype)
-        zero = jnp.zeros((), jnp.int32)
-        for b in range(B):
-            for ci in range(n_chunks):
-                tc = min(ps, T - ci * ps)
-                if tc <= 0:
-                    break
-                start = (layer_idx, chunk_pages[b, ci], zero, zero)
-                upd_k = k2[b, ci * ps:ci * ps + tc][None, None]
-                upd_v = v2[b, ci * ps:ci * ps + tc][None, None]
-                kp_all = lax.dynamic_update_slice(kp_all, upd_k, start)
-                vp_all = lax.dynamic_update_slice(vp_all, upd_v, start)
+        kp_all, vp_all = _write_chunk_pages(
+            layer_idx, kp_all, vp_all, k2, v2, chunk_pages, ps)
         x = _mlp_residual(cfg, blocks, layer_idx, x, attn, B, T, H, hd,
                           tp_axis)
         return (x, kp_all, vp_all), None
@@ -169,6 +206,120 @@ def prefill_paged(cfg: ModelConfig, params, tokens, prompt_lens,
     """Single-device jit of prefill_paged_inner."""
     return prefill_paged_inner(cfg, params, tokens, prompt_lens,
                                k_pages, v_pages, token_pages, token_offs)
+
+
+def prefill_chunk_paged_inner(cfg: ModelConfig, params, tokens_chunk,
+                              chunk_start, row_lens, k_pages, v_pages,
+                              chunk_pages, hist_pages, tp_axis=None,
+                              logits_all_gather: bool = True):
+    """ONE C-token chunk of a chunked (incremental) prefill.
+
+    Chunked prefill is how admission overlaps with decode (serving/engine.py
+    interleaves one of these between decode chunks, so active slots never
+    stall for a whole long-prompt prefill — the reference has no analogue,
+    demo/main.cpp serves one request). Chunk tokens attend to (a) the
+    sequence's PRIOR context, gathered from its already-written pages, and
+    (b) the chunk itself, causally; the chunk's K/V is then written to its
+    pages. All rows of the admission wave share the same chunk_start.
+
+    tokens_chunk [B, C] (C a static multiple of the page size);
+    chunk_start  scalar int32 — absolute position of chunk token 0;
+    row_lens     [B] int32 prompt lengths (rows ending before chunk_start
+                 are already complete: their writes go to the garbage page
+                 via sentinel chunk_pages and their logits are not selected);
+    chunk_pages  [B, C/ps] physical page per chunk page-slot (2**30 sentinel
+                 for padding -> redirected to garbage page 0);
+    hist_pages   [B, n_hist] pages of the prior context, n_hist STATIC
+                 (callers bucket to limit compiles; pad entries read page 0
+                 garbage and are masked via chunk_start/row_lens).
+
+    Returns (last_logits [B, vocab] — logits at each row's final prompt
+    token IF it falls in this chunk, else at a clamped slot (callers select
+    via ends_here), ends_here [B] bool, k_pages, v_pages).
+    """
+    B, C = tokens_chunk.shape
+    hd = cfg.head_dim
+    ps = k_pages.shape[2]
+    P = k_pages.shape[1]
+    L = k_pages.shape[0]
+    assert C % ps == 0, (C, ps)
+    n_hist = hist_pages.shape[1]
+    S_hist = n_hist * ps
+
+    x = params["tok_emb"][tokens_chunk]
+    sin, cos = build_rope(cfg)
+    abs_pos = chunk_start + jnp.arange(C, dtype=jnp.int32)  # [C]
+    abs_pos_b = jnp.broadcast_to(abs_pos, (B, C))
+    s, c = gather_rope(sin, cos, jnp.minimum(abs_pos_b, cfg.seq_len - 1))
+
+    cp = jnp.where((chunk_pages < 0) | (chunk_pages >= P), 0, chunk_pages)
+    hp = jnp.where((hist_pages < 0) | (hist_pages >= P), 0, hist_pages)
+
+    # attention layout: [hist(S_hist) || chunk(C)]. Causality inside the
+    # chunk uses LAYOUT positions (hist slots are always <= any chunk
+    # query's layout position, which is exactly right: prior context is
+    # fully visible); validity masks handle hist padding and row ends.
+    q_layout_pos = S_hist + jnp.arange(C, dtype=jnp.int32)
+    q_layout_pos = jnp.broadcast_to(q_layout_pos, (B, C))
+    hist_limit = jnp.minimum(chunk_start, row_lens)  # [B]
+    hist_valid = (jnp.arange(S_hist, dtype=jnp.int32)[None, :]
+                  < hist_limit[:, None]) if S_hist else \
+        jnp.zeros((B, 0), bool)
+    chunk_valid = abs_pos[None, :] < row_lens[:, None]
+    kv_mask = jnp.concatenate([hist_valid, chunk_valid], axis=1)
+
+    blocks = params["blocks"]
+
+    def layer_body(carry, layer_idx):
+        x, kp_all, vp_all = carry
+        q, k, v, H, KH = _qkv(cfg, blocks, layer_idx, x, s, c, B, C)
+        k2 = k.reshape(B, C, KH * hd).astype(kp_all.dtype)
+        v2 = v.reshape(B, C, KH * hd).astype(vp_all.dtype)
+        kp_all, vp_all = _write_chunk_pages(
+            layer_idx, kp_all, vp_all, k2, v2, cp, ps)
+        if S_hist:
+            # gather prior-context pages from the STACKED pool via a flat
+            # page index (dynamic-slicing the layer first would materialize
+            # a copy of the whole layer's pool)
+            flat = layer_idx * P + hp  # [B, n_hist]
+            k_hist = jnp.take(kp_all.reshape(L * P, ps, KH * hd), flat,
+                              axis=0).reshape(B, S_hist, KH, hd)
+            v_hist = jnp.take(vp_all.reshape(L * P, ps, KH * hd), flat,
+                              axis=0).reshape(B, S_hist, KH, hd)
+            k_all = jnp.concatenate([k_hist.astype(k.dtype), k], axis=1)
+            v_all = jnp.concatenate([v_hist.astype(v.dtype), v], axis=1)
+        else:
+            k_all, v_all = k, v
+        attn = attention_dense(q, k_all, v_all, q_layout_pos, kv_mask)
+        x = _mlp_residual(cfg, blocks, layer_idx, x, attn, B, C, H, hd,
+                          tp_axis)
+        return (x, kp_all, vp_all), None
+
+    layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
+    (x, k_pages, v_pages), _ = lax.scan(
+        layer_body, (x, k_pages, v_pages), layer_ids
+    )
+    # only each row's candidate last-token slot goes through the lm_head
+    last_rel = jnp.clip(row_lens - 1 - chunk_start, 0, C - 1)  # [B]
+    x_last = jnp.take_along_axis(x, last_rel[:, None, None], axis=1)[:, 0]
+    x_last = rmsnorm(x_last, params["final_norm"], cfg.norm_eps)
+    logits = linear(x_last, params["lm_head"]).astype(jnp.float32)
+    if tp_axis and logits_all_gather:
+        logits = lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
+    ends_here = ((row_lens - 1 >= chunk_start)
+                 & (row_lens - 1 < chunk_start + C))
+    return logits, ends_here, k_pages, v_pages
+
+
+@partial(jax.jit, static_argnames=("cfg",),
+         donate_argnames=("k_pages", "v_pages"))
+def prefill_chunk_paged(cfg: ModelConfig, params, tokens_chunk, chunk_start,
+                        row_lens, k_pages, v_pages, chunk_pages, hist_pages):
+    """Single-device jit of prefill_chunk_paged_inner (n_hist is static via
+    the hist_pages shape; callers bucket it)."""
+    return prefill_chunk_paged_inner(
+        cfg, params, tokens_chunk, chunk_start, row_lens, k_pages, v_pages,
+        chunk_pages, hist_pages)
 
 
 def decode_chunk_paged_inner(cfg: ModelConfig, params, token, pos,

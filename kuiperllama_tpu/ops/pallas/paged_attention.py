@@ -265,9 +265,20 @@ def paged_attention_flat(q, k_pages, v_pages, flat_b, flat_page, flat_tok0,
     KH = n_kv_heads or kv_dim // hd
     assert KH * hd == kv_dim, (KH, hd, kv_dim)
     # compiled Mosaic DMAs need a 128-aligned minor dim; the interpreter
-    # (CPU tests, tiny geometries) has no such constraint
-    assert kv_dim % 128 == 0 or _interpret(), \
-        f"lane dim KH*hd={kv_dim} must be 128-aligned on TPU"
+    # (CPU tests, tiny geometries) has no such constraint — but warn there
+    # so CI surfaces geometries that can never run compiled (e.g. a pool
+    # sharded over kv heads down to a 64-lane shard on hd=64 families;
+    # validate_tp rejects that at setup on TPU).
+    if kv_dim % 128 != 0:
+        if not _interpret():
+            raise AssertionError(
+                f"lane dim KH*hd={kv_dim} must be 128-aligned on TPU")
+        import warnings
+
+        warnings.warn(
+            f"paged attention lane dim KH*hd={kv_dim} is not 128-aligned: "
+            "this geometry runs under the Pallas interpreter but can NEVER "
+            "compile on TPU hardware", stacklevel=2)
     kv_mul = H // KH
     max_items = flat_b.shape[0]
     n_slots = _n_slots(ps2 * kv_dim * k_pages.dtype.itemsize,
@@ -305,16 +316,26 @@ def paged_attention_flat(q, k_pages, v_pages, flat_b, flat_page, flat_tok0,
       flat_tok0, n_items, seq_lens, q, k_pages, v_pages)
 
 
+def merge_flash_many(acc, m, l, axis: int = 0):
+    """Exactly merge N unnormalized flash-attention partials over disjoint
+    key sets, stacked on `axis`: acc [N, ..., hd], m/l [N, ...].
+    Returns the NORMALIZED merged output [..., hd].
+
+    This is the combine step of sequence-parallel / split-K decode
+    attention (parallel/seqpar.py): each shard's kernel emits (acc, m, l)
+    over its own pages; the merge is exact because softmax renormalization
+    factors exp(m_i - max m) commute with the weighted sums."""
+    m_max = jnp.max(m, axis=axis)
+    c = jnp.exp(m - jnp.expand_dims(m_max, axis))
+    num = jnp.sum(acc * c[..., None], axis=axis)
+    den = jnp.sum(l * c, axis=axis)
+    return num / jnp.maximum(den[..., None], 1e-30)
+
+
 def merge_flash_parts(acc1, m1, l1, acc2, m2, l2):
-    """Combine two unnormalized flash-attention partials over disjoint key
-    sets. Shapes: acc [..., hd], m/l [...] (broadcast over hd).
-    Returns the NORMALIZED merged output."""
-    m12 = jnp.maximum(m1, m2)
-    c1 = jnp.exp(m1 - m12)[..., None]
-    c2 = jnp.exp(m2 - m12)[..., None]
-    num = acc1 * c1 + acc2 * c2
-    den = l1[..., None] * c1 + l2[..., None] * c2
-    return num / jnp.maximum(den, 1e-30)
+    """Two-partial convenience form of merge_flash_many."""
+    return merge_flash_many(jnp.stack([acc1, acc2]), jnp.stack([m1, m2]),
+                            jnp.stack([l1, l2]))
 
 
 def paged_attention(q, k_pages, v_pages, page_table, seq_lens,

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ModelConfig
-from ..models.paged import decode_chunk_paged_inner, prefill_paged_inner
+from ..models.paged import (decode_chunk_paged_inner,
+                            prefill_chunk_paged_inner, prefill_paged_inner)
 from .mesh import MODEL_AXIS
 from .shardings import param_pspec_tree, validate_tp
 
@@ -54,6 +55,7 @@ class ShardedPagedStep:
         self._pspecs = param_pspec_tree(params_example)
         self._decode = self._build_decode()
         self._prefill = self._build_prefill()
+        self._prefill_chunk = self._build_prefill_chunk()
 
     # -- builders
 
@@ -112,6 +114,30 @@ class ShardedPagedStep:
 
         return fwd
 
+    def _build_prefill_chunk(self):
+        cfg, mesh, pspecs = self.cfg, self.mesh, self._pspecs
+
+        @partial(jax.jit, donate_argnames=("k_pages", "v_pages"))
+        def fwd(params, tokens_chunk, chunk_start, row_lens, k_pages,
+                v_pages, chunk_pages, hist_pages):
+            def body(params, tc, cs, rl, kp, vp, cp, hp):
+                return prefill_chunk_paged_inner(
+                    cfg, params, tc, cs, rl, kp, vp, cp, hp,
+                    tp_axis=MODEL_AXIS,
+                )
+
+            sm = jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(pspecs, _REP, _REP, _REP, PAGE_SPEC, PAGE_SPEC,
+                          _REP, _REP),
+                out_specs=(_REP, _REP, PAGE_SPEC, PAGE_SPEC),
+                check_vma=False,
+            )
+            return sm(params, tokens_chunk, chunk_start, row_lens, k_pages,
+                      v_pages, chunk_pages, hist_pages)
+
+        return fwd
+
     # -- call surfaces matching models/paged.py
 
     def decode_chunk(self, cfg, params, token, pos, k_pages, v_pages, done,
@@ -130,6 +156,13 @@ class ShardedPagedStep:
         assert cfg == self.cfg
         return self._prefill(params, tokens, prompt_lens, k_pages, v_pages,
                              token_pages, token_offs)
+
+    def prefill_chunk(self, cfg, params, tokens_chunk, chunk_start, row_lens,
+                      k_pages, v_pages, chunk_pages, hist_pages):
+        assert cfg == self.cfg
+        return self._prefill_chunk(params, tokens_chunk, chunk_start,
+                                   row_lens, k_pages, v_pages, chunk_pages,
+                                   hist_pages)
 
     # -- placement
 

@@ -209,7 +209,8 @@ class Engine:
     def _free_slots(self) -> List[int]:
         return [s for s in range(self.max_batch) if s not in self.active]
 
-    def _admit(self):
+    def _pop_admits(self):
+        """Move as many queued requests as fit into reserved slots."""
         free = self._free_slots()
         admits = []
         while self.queue and free and self._can_admit(self.queue[0]):
@@ -219,8 +220,15 @@ class Engine:
             assert 1 <= n < self.max_len, (n, self.max_len)
             self._reserve(slot, req)
             admits.append((slot, req))
+        return admits
+
+    def _admit(self):
+        admits = self._pop_admits()
         if not admits:
             return
+        self._admit_now(admits)
+
+    def _admit_now(self, admits):
         # one batched prefill for every admitted request. Rows ALWAYS pad to
         # max_batch: prefill cost is weight-read-bound (independent of rows),
         # while every distinct batch shape is a fresh jit compile — at 7B a
@@ -240,6 +248,12 @@ class Engine:
             slots[i] = slot
         self.rng, sub = jax.random.split(self.rng)
         first, done = self._prefill_batch(slots, toks, lens, sub)
+        self._activate(admits, slots, lens, first, done)
+
+    def _activate(self, admits, slots, lens, first, done):
+        """Post-prefill bookkeeping: install first tokens/positions, record
+        TTFT, hand slots to the decode loop."""
+        Ba = len(admits)
         first_np = np.asarray(first)  # syncs the prefill
         done_np = np.asarray(done)
         now = time.perf_counter()
@@ -300,14 +314,26 @@ class PagedEngine(Engine):
     Pass `mesh` to run tensor-sharded (BASELINE configs[3]: weights + pages
     sharded over the "model" ICI axis via parallel/sharded_paged.py; the
     scheduler state stays host-global). Params may be an unsharded pytree —
-    they are device_put with TP shardings here."""
+    they are device_put with TP shardings here.
+
+    Pass `prefill_chunk=C` (a page-size multiple, e.g. 256) to CHUNK long-
+    prompt admissions: prompts longer than C prefill C tokens per engine
+    step, interleaved with (shortened, `admit_chunk`-step) decode chunks, so
+    active slots keep generating during an admission wave instead of
+    stalling for the whole prefill. Prompts <= C take the single-shot path.
+    prefill_chunk=0 (default) = always single-shot (the r2 behavior)."""
 
     def __init__(self, cfg: ModelConfig, params, tokenizer=None,
                  n_pages: Optional[int] = None, page_size: int = 128,
-                 mesh=None, **kw):
+                 mesh=None, prefill_chunk: int = 0, admit_chunk: int = 8,
+                 fuse: bool = True, **kw):
         from ..kvcache import PageAllocator, init_paged_cache
 
         self.page_size = page_size
+        assert prefill_chunk % page_size == 0, (prefill_chunk, page_size)
+        self.prefill_chunk = prefill_chunk
+        self.admit_chunk = admit_chunk
+        self._wave: Optional[dict] = None
         max_batch = kw.get("max_batch", 8)
         max_len = kw.get("max_len") or cfg.seq_len
         if n_pages is None:
@@ -318,16 +344,110 @@ class PagedEngine(Engine):
         self.mesh = mesh
         self._sharded = None
         if mesh is not None:
+            from ..fuse import fuse_params_sharded
             from ..parallel.sharded_paged import ShardedPagedStep
             from ..parallel.shardings import shard_params
 
             params = shard_params(params, mesh, cfg)
+            if fuse and "wqkv" not in params["blocks"]:
+                # per-shard qkv/gate-up fusion (host-fused params cannot be
+                # column-sharded — see shardings.shard_params): fewer, wider
+                # weight streams per layer, incl. the bqkv bias path
+                params = fuse_params_sharded(params, mesh)
             self._sharded = ShardedPagedStep(cfg, mesh, params)
         super().__init__(cfg, params, tokenizer, **kw)
         self.allocator = PageAllocator(
             n_pages=n_pages, page_size=page_size,
             max_seqs=self.max_batch, max_len=self.max_len,
         )
+
+    # ---- chunked admission (prefill/decode overlap)
+
+    @property
+    def has_work(self) -> bool:
+        return bool(self.queue or self.active or self._wave)
+
+    def step(self) -> List[Request]:
+        if self.prefill_chunk:
+            if self._wave is None:
+                self._start_wave()
+            if self._wave is not None:
+                self._advance_wave()
+        else:
+            self._admit()
+        if not self.active:
+            return []
+        toks = self._run_chunk()
+        return self._collect(np.asarray(toks))
+
+    def _start_wave(self):
+        admits = self._pop_admits()
+        if not admits:
+            return
+        C = self.prefill_chunk
+        maxlen = max(len(r.prompt_ids) for _, r in admits)
+        if maxlen <= C:
+            # short prompts: the single-shot batched prefill is one step
+            # anyway — no overlap needed
+            self._admit_now(admits)
+            return
+        Bpad = self.max_batch
+        T = -(-maxlen // C) * C
+        toks = np.zeros((Bpad, T), np.int32)
+        lens = np.ones((Bpad,), np.int32)
+        slots = np.full((Bpad,), _PAD_SLOT, np.int32)
+        for i, (slot, req) in enumerate(admits):
+            n = len(req.prompt_ids)
+            toks[i, :n] = req.prompt_ids
+            lens[i] = n
+            slots[i] = slot
+        self.rng, sub = jax.random.split(self.rng)
+        self._wave = dict(admits=admits, toks=toks, lens=lens, slots=slots,
+                          T=T, progress=0, last_logits=None, rng=sub)
+
+    def _advance_wave(self):
+        from ..models.paged import prefill_chunk_paged
+
+        w = self._wave
+        C, ps, Bpad = self.prefill_chunk, self.page_size, self.max_batch
+        start = w["progress"]
+        toks_c = w["toks"][:, start:start + C]
+        pps = C // ps
+        chunk_pos = start + np.arange(pps) * ps
+        cp = np.full((Bpad, pps), 2**30, np.int32)
+        # hist pages bucketed to a power of two (bounds distinct compiles
+        # to ~log2(max_pages) shapes); pad entries read garbage page 0 and
+        # are masked inside via chunk_start/row_lens
+        n_need = start // ps
+        n_hist = 1
+        while n_hist < n_need:
+            n_hist *= 2
+        n_hist = n_hist if n_need else 0
+        hp = np.zeros((Bpad, n_hist), np.int32)
+        pt = self.allocator.page_table
+        for i, slot in enumerate(w["slots"]):
+            if slot == _PAD_SLOT:
+                continue
+            valid = chunk_pos < w["lens"][i]
+            cp[i, valid] = pt[slot, (chunk_pos // ps)[valid]]
+            hp[i, :n_need] = pt[slot, :n_need]
+        fn = (self._sharded.prefill_chunk if self._sharded is not None
+              else prefill_chunk_paged)
+        logits, ends, self.k_pages, self.v_pages = fn(
+            self.cfg, self.params, jnp.asarray(toks_c), jnp.int32(start),
+            jnp.asarray(w["lens"]), self.k_pages, self.v_pages,
+            jnp.asarray(cp), jnp.asarray(hp))
+        if w["last_logits"] is None:
+            w["last_logits"] = logits
+        else:
+            w["last_logits"] = jnp.where(ends[:, None], logits,
+                                         w["last_logits"])
+        w["progress"] = start + C
+        if w["progress"] >= w["T"]:
+            self._wave = None
+            first = sample_token(w["last_logits"], w["rng"])
+            done = jnp.any(first[:, None] == self._stop_arr[None, :], axis=-1)
+            self._activate(w["admits"], w["slots"], w["lens"], first, done)
 
     def _init_cache(self):
         cache = self._init_paged(
@@ -353,16 +473,23 @@ class PagedEngine(Engine):
 
         Ba, T = toks.shape
         ps = self.page_size
-        # OOB sentinel for padding rows/positions: mode="drop" drops indices
-        # >= P, but NEGATIVE indices wrap pythonically and would corrupt pages
+        # OOB sentinel for padding rows/positions: writes to it are redirected
+        # to the reserved garbage page 0 (kvcache.py). Vectorized: one fancy-
+        # index row per admit (the old O(B*T) python loop cost ~100 ms at
+        # B=8, T=2048 — comparable to the prefill itself).
+        arange_t = np.arange(T)
         token_pages = np.full((Ba, T), 2**30, np.int32)
-        token_offs = np.zeros((Ba, T), np.int32)
         for i in range(Ba):
             if slots[i] == _PAD_SLOT:
                 continue
-            for p in range(int(lens[i])):
-                token_pages[i, p] = self.allocator.page_table[slots[i], p // ps]
-                token_offs[i, p] = p % ps
+            n = int(lens[i])
+            token_pages[i, :n] = self.allocator.page_table[
+                slots[i], arange_t[:n] // ps]
+        # prefill writes are page-granular from offset 0 (models/paged.py
+        # assumes every ps-aligned chunk maps to one page at in-page offset
+        # 0); token_offs = position % ps satisfies that by construction.
+        token_offs = np.broadcast_to(
+            (arange_t % ps).astype(np.int32), (Ba, T)).copy()
         prefill_fn = (self._sharded.prefill if self._sharded is not None
                       else prefill_paged)
         last, self.k_pages, self.v_pages = prefill_fn(
@@ -378,25 +505,41 @@ class PagedEngine(Engine):
         from ..models.paged import decode_chunk_paged
         from ..ops.pallas.paged_attention import build_work_list
 
+        # shrink the decode chunk while an admission is pending: queued
+        # requests then wait at most admit_chunk decode steps (not a whole
+        # chunk) before their (chunked) prefill starts
+        steps = self.chunk
+        if self.prefill_chunk and (self.queue or self._wave is not None):
+            steps = min(self.chunk, self.admit_chunk)
         # pre-extend every active sequence's pages to cover the chunk
         pos_np = np.asarray(self.pos)
         for slot in self.active:
-            target = min(int(pos_np[slot]) + self.chunk + 1, self.max_len)
+            target = min(int(pos_np[slot]) + steps + 1, self.max_len)
             ok = self.allocator.extend_seq(slot, target)
             assert ok, "page allocator OOM mid-decode (capacity sizing bug)"
-        fb, fp, ft, n_items = build_work_list(
-            self.allocator.page_table, self.allocator.seq_lens, self.page_size
-        )
+        # non-active slots (mid-prefill admission waves) are masked out of
+        # BOTH directions: their pages leave the work list (no wasted
+        # attention DMA) and their page_table rows zero out so frozen rows'
+        # stale writes land on the garbage page instead of corrupting the
+        # wave's freshly-prefilled pages
+        pt = self.allocator.page_table
+        sl = self.allocator.seq_lens
+        if len(self.active) < self.max_batch:
+            mask = np.zeros((self.max_batch,), bool)
+            mask[list(self.active)] = True
+            pt = np.where(mask[:, None], pt, 0)
+            sl = np.where(mask, sl, 0)
+        fb, fp, ft, n_items = build_work_list(pt, sl, self.page_size)
         decode_fn = (self._sharded.decode_chunk if self._sharded is not None
                      else decode_chunk_paged)
         (toks, self.token, self.pos, self.k_pages, self.v_pages,
          self.done, self.rng) = decode_fn(
             self.cfg, self.params, self.token, self.pos,
             self.k_pages, self.v_pages, self.done, self.rng, self._stop_arr,
-            jnp.asarray(self.allocator.page_table),
+            jnp.asarray(pt),
             jnp.asarray(fb), jnp.asarray(fp), jnp.asarray(ft),
             jnp.asarray(n_items),
-            steps=self.chunk, page_size=self.page_size,
+            steps=steps, page_size=self.page_size,
             temperature=self.temperature, top_k=self.top_k, top_p=self.top_p,
         )
         return toks

@@ -125,3 +125,58 @@ def test_paged_engine_page_recycling(model):
     assert len(done) == 5
     assert all(len(r.out_ids) == 5 for r in done)
     assert eng.allocator.n_free_pages == 3  # page 0 reserved
+
+
+def test_chunked_prefill_matches_single_shot(model):
+    """prefill_chunk=C must produce EXACTLY the single-shot engine's greedy
+    outputs: chunk-continuation attention (prior context gathered from
+    pages + causal in-chunk) is numerically the same prefill."""
+    from kuiperllama_tpu.serving.engine import PagedEngine
+
+    cfg, params = model
+    prompts = [list(range(1, 41)), [2, 3], list(range(5, 30)), [7] * 37]
+    single = PagedEngine(cfg, params, max_batch=2, max_len=64, chunk=4,
+                         cache_dtype=jnp.float32, page_size=8)
+    want = single.run([Request(prompt_ids=p, max_new_tokens=8)
+                       for p in prompts])
+    chunked = PagedEngine(cfg, params, max_batch=2, max_len=64, chunk=4,
+                          cache_dtype=jnp.float32, page_size=8,
+                          prefill_chunk=16, admit_chunk=2)
+    got = chunked.run([Request(prompt_ids=p, max_new_tokens=8)
+                       for p in prompts])
+    w = sorted((tuple(r.prompt_ids), tuple(r.out_ids)) for r in want)
+    g = sorted((tuple(r.prompt_ids), tuple(r.out_ids)) for r in got)
+    assert g == w
+
+
+def test_decode_progresses_during_chunked_admission(model):
+    """Active slots must keep generating WHILE a long-prompt admission is
+    mid-prefill (the r2 engine stalled all decode for the whole prefill)."""
+    from kuiperllama_tpu.serving.engine import PagedEngine
+
+    cfg, params = model
+    eng = PagedEngine(cfg, params, max_batch=2, max_len=64, chunk=8,
+                      cache_dtype=jnp.float32, page_size=8,
+                      prefill_chunk=8, admit_chunk=2)
+    a = Request(prompt_ids=[1, 5, 9], max_new_tokens=40)
+    eng.submit(a)
+    eng.step()  # admit + start decoding A
+    assert len(a.out_ids) > 0
+    b = Request(prompt_ids=list(range(1, 41)), max_new_tokens=4)
+    eng.submit(b)
+    progressed_during_wave = 0
+    waves_seen = 0
+    for _ in range(20):
+        before = len(a.out_ids)
+        eng.step()
+        if eng._wave is not None:  # B's prefill still in flight
+            waves_seen += 1
+            progressed_during_wave += len(a.out_ids) - before
+        if b.first_token_time:
+            break
+    assert waves_seen >= 2, "long prompt should take multiple chunks"
+    assert progressed_during_wave > 0, (
+        "decode made no progress during the admission wave")
+    # B still completes correctly
+    eng.run([])
+    assert b.finished and len(b.out_ids) == 4, (b.finished, b.out_ids)
