@@ -114,7 +114,8 @@ def load_bin(
 
     (g8,) = struct.unpack("<i", bytes(mm[28:32]))
     v3_ok = (1 <= g8 <= 4096 and dim % g8 == 0 and _v3_size_matches(
-        len(mm), dim, hidden, n_layers, n_heads, n_kv, vocab, tied, g8))
+        len(mm), dim, hidden, n_layers, n_heads, n_kv, vocab, tied, g8,
+        qkv_bias))
     v0_ok = len(mm) == _v0_size(dim, hidden, n_layers, n_heads, n_kv, vocab,
                                 tied, seq_len, qkv_bias)
     if quantized is None:
@@ -167,13 +168,19 @@ def _v0_size(dim, hidden, L, n_heads, n_kv, vocab, tied, seq_len,
     return _HEADER_V0.size + n * 4
 
 
-def _v3_size_matches(nbytes, dim, hidden, L, n_heads, n_kv, vocab, tied, g) -> bool:
+def _v3_size_matches(nbytes, dim, hidden, L, n_heads, n_kv, vocab, tied, g,
+                     qkv_bias=False) -> bool:
     head_dim = dim // n_heads
     kv_dim = n_kv * head_dim
     qmats = L * (2 * dim * dim + 2 * kv_dim * dim + 3 * hidden * dim)
     if not tied:
         qmats += vocab * dim
     fp = vocab * dim + (2 * L + 1) * dim
+    if qkv_bias:
+        # OUR extension (the reference's quant path drops Qwen2 biases,
+        # qwen2.cpp:184-288): fp32 bias follows its weight's scales, the
+        # same weight-then-bias rule as v0 (qwen2.cpp:307-332)
+        fp += L * (dim + 2 * kv_dim)
     expect = _HEADER_V3.size + qmats + (qmats // g) * 4 + fp * 4
     return nbytes == expect
 
@@ -229,34 +236,52 @@ def _read_v0(cur: _Cursor, cfg: ModelConfig):
     return dict(tok_emb=tok_emb, blocks=blocks, final_norm=final_norm, lm_head=lm_head)
 
 
-def _read_quant_stack(cur: _Cursor, L: int, out_dim: int, in_dim: int, g: int, keep: bool):
-    """Read L quantized [out, in] tensors (int8 payload + fp32 scales each).
+def _read_quant_stack(cur: _Cursor, L: int, out_dim: int, in_dim: int, g: int,
+                      keep: bool, with_bias: bool = False):
+    """Read L quantized [out, in] tensors (int8 payload + fp32 scales each;
+    with_bias additionally reads an fp32 [out] bias after each — our Qwen2
+    v3 extension, weight-then-bias as in v0).
 
     Returns transposed stacks: q [L, in, out] int8, s [L, in//g, out] fp32 —
     groups lie along `in` because the reference flattens row-major [out, in]
     and in % g == 0, so each group of g consecutive elements sits inside one
-    output row (along the reduction dim).
+    output row (along the reduction dim). With with_bias, returns
+    (stack, biases [L, out]).
     """
-    qs, ss = [], []
+    qs, ss, bs = [], [], []
     for _ in range(L):
         q = cur.take(np.int8, (out_dim, in_dim))
         s = cur.take(np.float32, (out_dim, in_dim // g))
         qs.append(q.T)  # [in, out]
         ss.append(s.T)  # [in//g, out]
+        if with_bias:
+            bs.append(np.array(cur.take(np.float32, (out_dim,))))
     q = np.ascontiguousarray(np.stack(qs))
     s = np.ascontiguousarray(np.stack(ss))
     if keep:
-        return {"q": q, "s": s, "group_size": g}
-    # dequantize: expand scales over the group dim
-    sg = np.repeat(s, g, axis=1)  # [L, in, out]
-    return (q.astype(np.float32) * sg).astype(np.float32)
+        out = {"q": q, "s": s, "group_size": g}
+    else:
+        # dequantize: expand scales over the group dim
+        sg = np.repeat(s, g, axis=1)  # [L, in, out]
+        out = (q.astype(np.float32) * sg).astype(np.float32)
+    if with_bias:
+        return out, np.stack(bs)
+    return out
 
 
 def _read_v3(cur: _Cursor, cfg: ModelConfig, g: int, keep: bool):
     L, dim, hidden, kv_dim = cfg.n_layers, cfg.dim, cfg.hidden_dim, cfg.kv_dim
-    wq = _read_quant_stack(cur, L, dim, dim, g, keep)
-    wk = _read_quant_stack(cur, L, kv_dim, dim, g, keep)
-    wv = _read_quant_stack(cur, L, kv_dim, dim, g, keep)
+    bias = cfg.qkv_bias
+    if bias:
+        wq, bq = _read_quant_stack(cur, L, dim, dim, g, keep, with_bias=True)
+        wk, bk = _read_quant_stack(cur, L, kv_dim, dim, g, keep,
+                                   with_bias=True)
+        wv, bv = _read_quant_stack(cur, L, kv_dim, dim, g, keep,
+                                   with_bias=True)
+    else:
+        wq = _read_quant_stack(cur, L, dim, dim, g, keep)
+        wk = _read_quant_stack(cur, L, kv_dim, dim, g, keep)
+        wv = _read_quant_stack(cur, L, kv_dim, dim, g, keep)
     wo = _read_quant_stack(cur, L, dim, dim, g, keep)
     w1 = _read_quant_stack(cur, L, hidden, dim, g, keep)
     w2 = _read_quant_stack(cur, L, dim, hidden, g, keep)
@@ -281,6 +306,8 @@ def _read_v3(cur: _Cursor, cfg: ModelConfig, g: int, keep: bool):
         attn_norm=attn_norm, ffn_norm=ffn_norm,
         wq=wq, wk=wk, wv=wv, wo=wo, w1=w1, w2=w2, w3=w3,
     )
+    if bias:
+        blocks.update(bq=bq, bk=bk, bv=bv)
     return dict(tok_emb=tok_emb, blocks=blocks, final_norm=final_norm, lm_head=lm_head)
 
 
@@ -328,7 +355,12 @@ def write_v0(path: str, cfg: ModelConfig, params) -> None:
 
 
 def write_v3(path: str, cfg: ModelConfig, params, group_size: int = 64) -> None:
-    """Write a v3 group-quant checkpoint from an fp32 [in, out] params pytree."""
+    """Write a v3 group-quant checkpoint from an fp32 [in, out] params pytree.
+
+    With cfg.qkv_bias (Qwen2), each quantized wq/wk/wv is followed by its
+    fp32 bias — OUR extension (autodetected by exact body size on load; the
+    reference's quant loader drops Qwen2 biases entirely, qwen2.cpp:184-288,
+    while its v0 path keeps them, qwen2.cpp:307-332)."""
     L = cfg.n_layers
     b = params["blocks"]
     max_err = 0.0
@@ -348,9 +380,14 @@ def write_v3(path: str, cfg: ModelConfig, params, group_size: int = 64) -> None:
             f.write(q.tobytes())
             f.write(s.tobytes())
 
-        for name in ("wq", "wk", "wv", "wo", "w1", "w2", "w3"):
+        for name, bias_name in (("wq", "bq"), ("wk", "bk"), ("wv", "bv"),
+                                ("wo", None), ("w1", None), ("w2", None),
+                                ("w3", None)):
             for i in range(L):
                 wq8(b[name][i].T)
+                if bias_name is not None and cfg.qkv_bias:
+                    f.write(np.ascontiguousarray(
+                        b[bias_name][i], dtype=np.float32).tobytes())
         if not cfg.tied_embedding:
             wq8(params["lm_head"].T)
         w = lambda a: f.write(np.ascontiguousarray(a, dtype=np.float32).tobytes())

@@ -248,3 +248,28 @@ def test_v3_dequant_on_load(tmp_path):
     np.testing.assert_allclose(
         loaded["blocks"]["w2"], params["blocks"]["w2"], atol=0.02
     )
+
+
+def test_v3_bias_roundtrip_qwen2(tmp_path):
+    """Our v3 Qwen2 extension: quant weights + fp32 qkv biases round-trip,
+    and the bias flavor is autodetected by exact body size (the reference's
+    quant loader has no bias support — qwen2.cpp:184-288)."""
+    cfg = tiny_config("qwen2", tied_embedding=False)
+    assert cfg.qkv_bias
+    params = random_params(cfg, seed=5)
+    path = str(tmp_path / "q.q8.bin")
+    err = write_v3(path, cfg, params, group_size=64)
+    assert err < 0.02
+    cfg2, loaded = load_bin(path, family="qwen2", quantized=None)  # autodetect
+    assert cfg2.group_size == 64 and cfg2.qkv_bias
+    for key in ("bq", "bk", "bv"):
+        np.testing.assert_allclose(
+            loaded["blocks"][key], params["blocks"][key], rtol=1e-6,
+            err_msg=key)
+    wv = loaded["blocks"]["wv"]
+    sg = np.repeat(wv["s"], wv["group_size"], axis=1)
+    deq = wv["q"].astype(np.float32) * sg
+    np.testing.assert_allclose(deq, params["blocks"]["wv"], atol=0.02)
+    # a biasless parse of the same file must fail the size check
+    with pytest.raises(ModelParseError):
+        load_bin(path, family="qwen2", quantized=True, qkv_bias=False)

@@ -74,3 +74,27 @@ def test_sharded_paged_quantized(model):
                           cache_dtype=jnp.float32, page_size=128, mesh=mesh)
     got = _run(sharded)
     assert got == want
+
+
+def test_sharded_paged_qwen2_bias_fused():
+    """Qwen2 qkv biases through the per-shard fused bqkv path under TP:
+    sharded quantized+fused engine output == single-device (BASELINE
+    configs[1] family coverage; bias layout per qwen2.cpp:307-332)."""
+    from kuiperllama_tpu.quant import quantize_q80
+
+    cfg = tiny_config("qwen2", seq_len=64)
+    assert cfg.qkv_bias
+    params = to_device(random_params(cfg, seed=31), dtype=jnp.float32)
+    qblocks = dict(params["blocks"])
+    for name in ("wq", "wk", "wv", "wo", "w1", "w2", "w3"):
+        qblocks[name] = quantize_q80(params["blocks"][name], group_size=32)
+    qparams = dict(params, blocks=qblocks)
+
+    single = PagedEngine(cfg, qparams, max_batch=2, max_len=64, chunk=4,
+                         cache_dtype=jnp.float32, page_size=128)
+    want = _run(single)
+    mesh = make_mesh(dp=1, tp=2)
+    sharded = PagedEngine(cfg, qparams, max_batch=2, max_len=64, chunk=4,
+                          cache_dtype=jnp.float32, page_size=128, mesh=mesh)
+    got = _run(sharded)
+    assert got == want

@@ -40,10 +40,10 @@ import numpy as np
 
 ICI_GBPS = 45.0        # v5e per-link, per-direction
 ICI_HOP_US = 1.0
-HBM_GBPS = 573.0       # measured, tools/roofline.py
+HBM_GBPS = 741.9       # measured, tools/roofline.py (PROBES.json r3)
 
 
-def measure_tp(cfg, params_np, tp: int, steps: int = 8):
+def measure_tp(cfg, params_np, tp: int, steps: int = 8, dp: int = 1):
     from kuiperllama_tpu.models import decoder
     from kuiperllama_tpu.params import to_device
     from kuiperllama_tpu.parallel.mesh import make_mesh
@@ -51,16 +51,16 @@ def measure_tp(cfg, params_np, tp: int, steps: int = 8):
     from kuiperllama_tpu.parallel.shardings import shard_params
 
     params = to_device(params_np, dtype=jnp.float32)
-    B = 2
+    B = 2 * dp
     tok = jnp.zeros((B,), jnp.int32)
     pos = jnp.full((B,), 3, jnp.int32)
 
-    if tp == 1:
+    if tp == 1 and dp == 1:
         cache = decoder.init_kv_cache(cfg, batch=B, max_len=32)
         fwd = None
         sp = params
     else:
-        mesh = make_mesh(dp=1, tp=tp)
+        mesh = make_mesh(dp=dp, tp=tp)
         fwd = ShardedForward(cfg, mesh, params)
         sp = shard_params(params, mesh, cfg)
         cache = fwd.init_cache(batch=B, max_len=32)
@@ -84,7 +84,7 @@ def measure_tp(cfg, params_np, tp: int, steps: int = 8):
     return best / steps
 
 
-def analytic(cfg, tp: int, B: int = 2, weight_bytes: int = 0):
+def analytic(cfg, tp: int, B: int = 2, weight_bytes: int = 0, **_):
     """Exact per-decode-step collective bill + v5e projection."""
     psum_bytes = 2 * cfg.n_layers * B * cfg.dim * 4       # wo + w2, fp32
     ag_bytes = B * cfg.vocab_size * 4                     # logits all-gather
@@ -137,26 +137,47 @@ def main():
     mats = L * (2 * d * d + 2 * d * kv + 3 * d * h) + d * V
     w7b = mats + (mats // 64) * 4  # int8 + fp32 scales
 
+    n_dev = jax.device_count()
     rows = []
     base = None
-    for tp in (1, 2, 4, 8):
-        if cfg.n_kv_heads % tp or cfg.vocab_size % tp:
+    for dp, tp in ((1, 1), (1, 2), (1, 4), (1, 8), (2, 1), (2, 2), (2, 4),
+                   (4, 2), (8, 1)):
+        if (cfg.n_kv_heads % tp or cfg.vocab_size % tp or dp * tp > n_dev):
             continue
-        step_s = measure_tp(cfg, params_np, tp, steps=args.steps)
-        row = dict(tp=tp, measured_step_ms=round(step_s * 1e3, 2))
-        row.update(analytic(proj_cfg, tp, weight_bytes=w7b))
+        step_s = measure_tp(cfg, params_np, tp, steps=args.steps, dp=dp)
+        row = dict(dp=dp, tp=tp, batch=2 * dp,
+                   measured_step_ms=round(step_s * 1e3, 2))
+        row.update(analytic(proj_cfg, tp, B=2, weight_bytes=w7b))
         if base is None:
             base = step_s
-        row["measured_rel_speedup"] = round(base / step_s, 2)
+        # dp multiplies rows served at ~constant step time; count it in the
+        # relative-throughput speedup (tokens/step/time vs the dp=tp=1 base)
+        row["measured_rel_speedup"] = round(dp * base / step_s, 2)
         rows.append(row)
         print(json.dumps(row), file=sys.stderr)
 
+    # verify the analytic collective bill against the compiled HLO on a
+    # virtual mesh (the projection's psum/all-gather terms are only honest
+    # if XLA actually emits that communication pattern)
+    from kuiperllama_tpu.parallel.hlo import decode_step_bill
+    from kuiperllama_tpu.parallel.mesh import make_mesh
+
+    hlo = decode_step_bill(cfg, make_mesh(dp=1, tp=min(4, n_dev)),
+                           params_np, batch=2, cache_len=32)
+    em, an = hlo["emitted"], hlo["analytic"]
+    hlo_ok = (em.get("all-reduce", {}).get("bytes")
+              == an["all_reduce_bytes_per_body"]
+              and em.get("all-gather", {}).get("count") == 1
+              and em.get("all-gather", {}).get("bytes")
+              == an["all_gather_bytes"])
+
     out = dict(
         devices=str(jax.devices()[0].device_kind),
-        n_devices=jax.device_count(),
+        n_devices=n_dev,
         measured_model=args.model or "tiny",
         projection_model="llama2-7b int8",
         ici_GBps=ICI_GBPS, hbm_GBps=HBM_GBPS,
+        hlo_collectives=dict(emitted=em, analytic=an, verified=bool(hlo_ok)),
         rows=rows,
     )
     s = json.dumps(out, indent=2)

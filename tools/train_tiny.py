@@ -31,11 +31,13 @@ CORPUS = os.path.join(os.path.dirname(__file__), "..", "tests", "data",
                       "tinycorpus.txt")
 
 
-def build_cfg(seq_len=128):
+def build_cfg(seq_len=128, family="llama2"):
     from kuiperllama_tpu.config import ModelConfig
 
+    # qwen2 flips qkv_bias=True, eps=1e-6, theta=1e6, half-split RoPE via
+    # the family preset — the full reference-parity axis (qwen2.cpp)
     return ModelConfig.from_header(
-        family="llama2", dim=128, hidden_dim=384, n_layers=4, n_heads=4,
+        family=family, dim=128, hidden_dim=384, n_layers=4, n_heads=4,
         n_kv_heads=2, vocab_size=128, seq_len=seq_len, tied_embedding=False,
     )
 
@@ -51,10 +53,18 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr", type=float, default=3e-3)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--out", default="checkpoints/tinychar")
+    ap.add_argument("--out", default=None,
+                    help="default checkpoints/tinychar[_<family>]")
+    ap.add_argument("--family", default="llama2",
+                    choices=["llama2", "llama3", "qwen2"],
+                    help="qwen2 exercises qkv biases end-to-end: train -> "
+                         "v0/v3-with-bias export -> load -> gate")
     ap.add_argument("--scan-chunk", type=int, default=25,
                     help="train steps per device call")
     args = ap.parse_args()
+    if args.out is None:
+        suffix = "" if args.family == "llama2" else f"_{args.family}"
+        args.out = f"checkpoints/tinychar{suffix}"
 
     import optax
 
@@ -64,7 +74,7 @@ def main():
     from kuiperllama_tpu.models import decoder
     from kuiperllama_tpu.params import random_params
 
-    cfg = build_cfg()
+    cfg = build_cfg(family=args.family)
     text = open(CORPUS).read()
     ids = encode_bytes(text)
     split = int(len(ids) * 0.85)
@@ -132,13 +142,15 @@ def main():
     from kuiperllama_tpu.checkpoint.binfmt import load_bin
     from kuiperllama_tpu.params import to_device
 
-    cfg0, pf = load_bin(p0, family="llama2")
-    cfg3, pq = load_bin(p3, family="llama2", quantized=True)
+    cfg0, pf = load_bin(p0, family=args.family)
+    cfg3, pq = load_bin(p3, family=args.family, quantized=True)
     pf = to_device(pf, dtype=jnp.float32)
     pq = to_device(pq, dtype=jnp.float32)
     report = quantization_ppl_delta(cfg0, pf, cfg3, pq, heldout_ids,
                                     window=cfg.seq_len)
     report.update(
+        family=args.family,
+        qkv_bias=bool(cfg.qkv_bias),
         corpus="tests/data/tinycorpus.txt (held-out 15%)",
         heldout_tokens=int(len(heldout_ids)),
         train_steps=args.steps,
