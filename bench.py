@@ -69,8 +69,23 @@ def main():
     ap.add_argument("--fp", action="store_true", help="bf16 weights, no quant")
     ap.add_argument("--no-fuse", action="store_true",
                     help="disable qkv/gate-up weight fusion")
+    ap.add_argument("--scales-fp32", action="store_true",
+                    help="keep fp32 quant scales (default: cast to bf16 — "
+                         "free in fast mode, 3% fewer HBM bytes)")
     ap.add_argument("--engine", action="store_true",
                     help="continuous-batching serving bench (paged KV cache)")
+    ap.add_argument("--engine-backend", default="paged",
+                    choices=["paged", "dense"],
+                    help="KV backend for --engine (dense = same scheduler "
+                         "over the preallocated dense cache, for paged-vs-"
+                         "dense comparisons)")
+    ap.add_argument("--prefill-chunk", type=int, default=0,
+                    help="chunked-prefill size for --engine (0 = single-"
+                         "shot admission)")
+    ap.add_argument("--long-prompt", type=int, default=0,
+                    help="with --engine: every --long-every'th request "
+                         "gets this prompt length (ragged long-context mix)")
+    ap.add_argument("--long-every", type=int, default=4)
     ap.add_argument("--requests", type=int, default=16)
     ap.add_argument("--selftest", action="store_true",
                     help="run ONLY the compiled-kernel parity selftest")
@@ -102,6 +117,10 @@ def main():
         from kuiperllama_tpu.fuse import fuse_params
 
         params = fuse_params(params)
+    if not args.fp and not args.scales_fp32:
+        from kuiperllama_tpu.quant import cast_scales
+
+        params = cast_scales(params, jnp.bfloat16)
     jax.block_until_ready(params)
     if args.verbose:
         print(f"[bench] {args.model} params {param_bytes(params)/1e9:.2f} GB "
@@ -201,6 +220,31 @@ def _selftest():
     out["quant_matmul_exact_rel_err"] = float(
         np.abs(got_exact - want).max() / denom)
 
+    # the PRODUCTION 7B shapes through the layer-indexed (stacked-weight)
+    # kernel the decode scan actually runs: fused wqkv, fused w13, and w2 —
+    # whose K=11008 has no 512-multiple divisor <= block_in, exercising the
+    # whole-reduction TK==K path (r2 covered these only implicitly via the
+    # end-to-end throughput number)
+    from kuiperllama_tpu.ops.pallas.quant_matmul import quant_matmul_layered
+
+    for tag, (K, N) in {"wqkv": (4096, 12288), "w13": (4096, 22016),
+                        "w2": (11008, 4096)}.items():
+        L, M = 2, 8
+        xs = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+        ws = QuantArray(
+            q=jnp.asarray(rng.integers(-127, 128, (L, K, N)), jnp.int8),
+            s=jnp.asarray(rng.uniform(0.005, 0.02, (L, K // g, N)),
+                          jnp.float32),
+            group_size=g,
+        )
+        li = jnp.int32(1)
+        w1 = QuantArray(q=ws.q[1], s=ws.s[1], group_size=g)
+        want = np.asarray(_quant_matmul_xla(xs.astype(jnp.float32), w1))
+        got = np.asarray(quant_matmul_layered(xs, ws, li)).astype(np.float32)
+        denom = np.maximum(np.abs(want).max(), 1e-6)
+        out[f"quant_matmul_layered_{tag}_rel_err"] = float(
+            np.abs(got - want).max() / denom)
+
     # paged flash-decode attention vs dense oracle (GQA + MHA geometry)
     for tag, (KH, kv_mul, hd) in {"gqa": (4, 8, 64), "mha": (8, 1, 128)}.items():
         ps, B, S = 128, 2, 256
@@ -247,18 +291,30 @@ def _bench_engine(args, cfg, params):
 
     import numpy as np
 
-    from kuiperllama_tpu.serving.engine import PagedEngine, Request
+    from kuiperllama_tpu.serving.engine import Engine, PagedEngine, Request
 
     import jax.numpy as jnp
 
-    eng = PagedEngine(
-        cfg, params, max_batch=args.batch, max_len=args.cache_len,
-        chunk=64, cache_dtype=jnp.bfloat16,
-    )
+    if args.engine_backend == "dense":
+        eng = Engine(cfg, params, max_batch=args.batch,
+                     max_len=args.cache_len, chunk=64,
+                     cache_dtype=jnp.bfloat16)
+    else:
+        eng = PagedEngine(
+            cfg, params, max_batch=args.batch, max_len=args.cache_len,
+            chunk=64, cache_dtype=jnp.bfloat16,
+            prefill_chunk=args.prefill_chunk,
+        )
+
+    def plen(i):
+        if args.long_prompt and i % args.long_every == 0:
+            return args.long_prompt
+        return args.prompt_len
+
     mk = lambda: [
-        Request(prompt_ids=list(range(5, 5 + args.prompt_len)),
+        Request(prompt_ids=list(range(5, 5 + plen(i))),
                 max_new_tokens=args.steps)
-        for _ in range(args.requests)
+        for i in range(args.requests)
     ]
     eng.run(mk()[: args.batch])  # warm/compile
 
@@ -274,9 +330,10 @@ def _bench_engine(args, cfg, params):
         print(f"[bench] engine: {len(done)} reqs, {total_tokens} tokens in "
               f"{wall:.2f}s; p50 TTFT {p50_ttft * 1e3:.0f} ms", file=sys.stderr)
     quant = "fp" if args.fp else "int8"
-    print(json.dumps({
+    rec = {
         "metric": f"{args.model} {quant} continuous-batching decode tokens/s "
-                  f"(paged KV, {args.requests} reqs, {args.batch} slots)",
+                  f"({args.engine_backend} KV, {args.requests} reqs, "
+                  f"{args.batch} slots)",
         "value": round(tps, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tps / REFERENCE_TOKS_PER_S, 2),
@@ -288,7 +345,14 @@ def _bench_engine(args, cfg, params):
         "prompt_len": args.prompt_len,
         "max_new_tokens": args.steps,
         "slots": args.batch,
-    }))
+        "backend": args.engine_backend,
+    }
+    if args.prefill_chunk:
+        rec["prefill_chunk"] = args.prefill_chunk
+    if args.long_prompt:
+        rec["long_prompt"] = args.long_prompt
+        rec["long_every"] = args.long_every
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -74,6 +74,13 @@ class KuiperModel:
     # ---- init (reference Model::init: device select + weight upload)
 
     def init(self, dtype=jnp.bfloat16, mesh=None, cache_len: Optional[int] = None):
+        """Device placement (reference Model::init). With `mesh`, weights
+        are tensor-sharded and the DENSE-cache Generator runs under
+        shard_map (ShardedForward). Note the engine asymmetry: the
+        continuous-batching serving path accepts `mesh` only through
+        serving.engine.PagedEngine(mesh=...) — the paged backend is the
+        production sharded-serving path; the dense Engine is single-device
+        by design (short-context, simple)."""
         if mesh is not None:
             from .parallel.sharded import ShardedForward
             from .parallel.shardings import shard_params

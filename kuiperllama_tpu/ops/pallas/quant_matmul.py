@@ -27,8 +27,16 @@ Performance rules learned the hard way on this hardware (r2):
     _pick_tile chooses tiles that divide the true shape.
   * The chip reports "TPU v5 lite" but has 128 MB VMEM; the default 16 MB
     scoped budget rejects whole-reduction tiles (vmem_limit_bytes=96MB).
-End-to-end with these rules: Llama-2-7B INT8 B=1 decode at 88.7% of the
-measured weight-stream roofline (BENCH_r02).
+  * WHOLE-REDUCTION tiles (TK == K) stream ~2x faster than TK=2048 tiling
+    at decode shapes: measured wo [4096, 4096] 533 -> 1116 GB/s, w2
+    [11008, 4096] 860 GB/s (tools/bench_kernels.py, r3). block_in defaults
+    to 4096 so every 7B shape takes TK = K; keep TN at 512 (Mosaic compile
+    explodes on [K, 1024] whole-reduction dequant blocks).
+  * bf16 scales are free in fast mode (the kernel casts anyway) and cut
+    the scale stream in half — quant.cast_scales at load.
+End-to-end with these rules: Llama-2-7B INT8 B=1 decode at 84.5 tok/s =
+70.3% of the 819 GB/s SPEC-bandwidth roofline, 77.6% of the demonstrated
+742 GB/s stream (BENCH_r03; r2 was 61%/72.6 tok/s).
 """
 
 from __future__ import annotations
@@ -120,7 +128,7 @@ def _interpret() -> bool:
     static_argnames=("group_size", "block_out", "block_in", "out_dtype", "mode"),
 )
 def _quant_matmul_2d(x, q, s, group_size: int, block_out: int = 512,
-                     block_in: int = 2048, out_dtype=None, mode: str = "fast"):
+                     block_in: int = 4096, out_dtype=None, mode: str = "fast"):
     """x [M, K] @ dequant(q [K, N], s [K/g, N]) -> [M, N]."""
     M, K = x.shape
     K2, N = q.shape
@@ -129,12 +137,14 @@ def _quant_matmul_2d(x, q, s, group_size: int, block_out: int = 512,
     out_dtype = out_dtype or x.dtype
 
     # prefer tiles that divide exactly — padding copies the whole weight.
-    # TK quantum is 8*g: the scales block [TK//g, TN] needs >= 8 sublanes
-    # (Mosaic tiling rule) unless it spans the whole (8-padded) axis.
+    # TK quantum is srows_min*g: the scales block [TK//g, TN] needs >= 8
+    # sublanes for fp32 scales, >= 16 for bf16 (Mosaic tiling rule) unless
+    # it spans the whole (8-padded) axis.
+    srows_min = 16 if s.dtype.itemsize == 2 else 8
     TN = _pick_tile(N, 128, block_out) or min(block_out, _round_up(N, 128))
-    TK = (_pick_tile(K, 8 * g, block_in)
+    TK = (_pick_tile(K, srows_min * g, block_in)
           or (K if K * TN <= (8 << 20) else None)
-          or min(block_in, _round_up(K, 8 * g)))
+          or min(block_in, _round_up(K, srows_min * g)))
     assert TK % g == 0, (TK, g)
     n_n, n_k = _cdiv(N, TN), _cdiv(K, TK)
     TM = _round_up(M, 8)
@@ -181,7 +191,7 @@ def _quant_matmul_2d(x, q, s, group_size: int, block_out: int = 512,
 
 
 def quant_matmul(x, w: QuantArray, mode: str | None = None,
-                 block_out: int = 512, block_in: int = 2048):
+                 block_out: int = 512, block_in: int = 4096):
     """x [..., in] @ QuantArray([in, out]) -> [..., out] in x.dtype."""
     lead = x.shape[:-1]
     K = x.shape[-1]
@@ -207,7 +217,7 @@ def quant_matmul(x, w: QuantArray, mode: str | None = None,
     static_argnames=("group_size", "block_out", "block_in", "out_dtype", "mode"),
 )
 def _quant_matmul_layered(x, q, s, layer_idx, group_size: int,
-                          block_out: int = 512, block_in: int = 2048,
+                          block_out: int = 512, block_in: int = 4096,
                           out_dtype=None, mode: str = "fast"):
     """x [M, K] @ dequant(q [L, K, N], s [L, K/g, N])[layer_idx] -> [M, N].
 
@@ -222,12 +232,13 @@ def _quant_matmul_layered(x, q, s, layer_idx, group_size: int,
     g = group_size
     out_dtype = out_dtype or x.dtype
 
-    # TK quantum is 8*g: the scales block [TK//g, TN] needs >= 8 sublanes
-    # (Mosaic tiling rule). If nothing divides, take the whole reduction in
-    # one tile; the 3-D scales block then spans its full axis, which Mosaic
-    # allows at any size.
+    # TK quantum is srows_min*g: the scales block [TK//g, TN] needs >= 8
+    # sublanes for fp32 scales, >= 16 for bf16 (Mosaic tiling rule). If
+    # nothing divides, take the whole reduction in one tile; the 3-D scales
+    # block then spans its full axis, which Mosaic allows at any size.
+    srows_min = 16 if s.dtype.itemsize == 2 else 8
     TN = _pick_tile(N, 128, block_out)
-    TK = _pick_tile(K, 8 * g, block_in) or K
+    TK = _pick_tile(K, srows_min * g, block_in) or K
     assert TN is not None, (
         f"no dividing out-tile for N={N}; pad the checkpoint weights "
         "to a multiple of 128")
@@ -277,7 +288,7 @@ def _quant_matmul_layered(x, q, s, layer_idx, group_size: int,
 
 
 def quant_matmul_layered(x, w: QuantArray, layer_idx, mode: str | None = None,
-                         block_out: int = 512, block_in: int = 2048):
+                         block_out: int = 512, block_in: int = 4096):
     """x [..., in] @ dequant(stacked QuantArray [L, in, out])[layer_idx].
 
     For use inside lax.scan over layers: pass the UNSLICED stacked weight;

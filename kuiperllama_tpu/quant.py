@@ -72,6 +72,24 @@ def quantize_q80(w, group_size: int = 64, axis: int = -2):
     return QuantArray(q=q, s=s.astype(jnp.float32), group_size=group_size)
 
 
+def cast_scales(tree, dtype=jnp.bfloat16):
+    """Cast every QuantArray's scales in a params pytree to `dtype`.
+
+    bf16 scales in fast mode cost nothing (the kernel casts scales to bf16
+    before the multiply anyway) and cut the scale stream in half — at
+    group=64 that is 1/32 of the weight bytes, ~3% more decode tokens/s.
+    Checkpoints keep fp32 scales on disk (the reference contract,
+    export.py:152-188); cast at load."""
+    def f(x):
+        if isinstance(x, QuantArray):
+            return QuantArray(q=x.q, s=x.s.astype(dtype),
+                              group_size=x.group_size)
+        return x
+
+    return jax.tree.map(f, tree,
+                        is_leaf=lambda x: isinstance(x, QuantArray))
+
+
 def pad_scale_rows(s, multiple: int = 8):
     """Pad the scale-row axis (-2) up to a multiple (see QuantArray doc)."""
     rows = s.shape[-2]

@@ -43,7 +43,13 @@ def main():
         with open(args.text) as f:
             stream = tok.encode(f.read())
     else:
-        # deterministic synthetic stream — meaningful for DELTA-ppl only
+        # deterministic synthetic stream — meaningful for DELTA-ppl only;
+        # a real gate needs real text + trained weights (tools/train_tiny.py
+        # owns that pipeline and commits its artifact)
+        print("[ppl] WARNING: no --tokenizer/--text given — evaluating a "
+              "RANDOM token stream. Absolute ppl is meaningless and the "
+              "delta gate is a weak discriminator; pass real text for a "
+              "real gate (see tools/train_tiny.py).", file=sys.stderr)
         rng = np.random.default_rng(0)
         stream = rng.integers(0, cfg.vocab_size,
                               size=8 * args.window).astype(np.int32)
