@@ -160,7 +160,13 @@ def _quant_matmul_2d(x, q, s, group_size: int, block_out: int = 512,
         s = jnp.pad(s, ((0, (n_k * TK) // g - K // g), (0, n_n * TN - N)))
 
     # TK == K: the single scales block spans its whole (possibly 8-padded)
-    # row axis; the kernel slices back to the real group count.
+    # row axis; the kernel slices back to the real group count. The row
+    # count must still be sublane-aligned (Mosaic pads the backing memref
+    # to the tile quantum and cannot slice a misaligned block out of it:
+    # K=11008/g=64 gives 172 rows, which compiles only padded to 176) —
+    # production pre-pads at load (params.to_device); self-heal otherwise.
+    if n_k == 1 and s.shape[0] % srows_min:
+        s = jnp.pad(s, ((0, -s.shape[0] % srows_min), (0, 0)))
     SROWS = TK // g if n_k > 1 else s.shape[0]
     kernel = functools.partial(_kernel, group_size=g, n_k=n_k, mode=mode)
     out = pl.pallas_call(
@@ -254,7 +260,13 @@ def _quant_matmul_layered(x, q, s, layer_idx, group_size: int,
         # (scales arrive as a [1, TK//g, TN] block of the 3-D array)
         _kernel(x_ref, q_ref, s_ref.at[0], o_ref, acc_ref,
                 group_size=g, n_k=n_k, mode=mode)
-    # TK == K: one scales block spanning the whole (8-padded) row axis
+    # TK == K: one scales block spanning the whole (8-padded) row axis.
+    # Same sublane-alignment rule as the 2-D kernel; the pad below is a
+    # per-call copy of the whole stacked scales array, so production MUST
+    # pre-pad at load (params.to_device does) — this branch only rescues
+    # ad-hoc callers (tests, notebooks) from a Mosaic compile error.
+    if n_k == 1 and s.shape[1] % srows_min:
+        s = jnp.pad(s, ((0, 0), (0, -s.shape[1] % srows_min), (0, 0)))
     SROWS = TK // g if n_k > 1 else s.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

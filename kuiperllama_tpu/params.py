@@ -24,8 +24,11 @@ def is_quant_leaf(x) -> bool:
     return isinstance(x, dict) and set(x.keys()) >= {"q", "s", "group_size"}
 
 
-def _round_up8(n: int) -> int:
-    return -(-n // 8) * 8
+def _round_up_srows(n: int) -> int:
+    # scale-row alignment quantum: 16 covers both fp32 (needs 8) and bf16
+    # (needs 16) sublane tiling, so cast_scales(bf16) never produces a
+    # misaligned block for the whole-reduction kernel path
+    return -(-n // 16) * 16
 
 
 def to_device(params, dtype=jnp.float32, sharding_tree=None):
@@ -45,7 +48,7 @@ def to_device(params, dtype=jnp.float32, sharding_tree=None):
             qsh, ssh = (sh["q"], sh["s"]) if sh is not None else (None, None)
             # scale rows pad to a multiple of 8 on device (Mosaic cannot
             # address sub-8-sublane scale blocks; see QuantArray docstring)
-            s = pad_scale_rows(np.asarray(x["s"], np.float32))
+            s = pad_scale_rows(np.asarray(x["s"], np.float32), multiple=16)
             return QuantArray(
                 q=put(x["q"], qsh),
                 s=put(s, ssh),
@@ -140,7 +143,7 @@ def _random_params_jit(key, cfg, dtype_name, quantize, group_size, scale):
             # OOM a 16 GB chip); the bench compute is identical either way.
             # scale rows padded to a multiple of 8 (QuantArray docstring)
             q = jax.random.randint(next(keys), shape, -127, 128, jnp.int8)
-            rows = _round_up8(shape[-2] // group_size)
+            rows = _round_up_srows(shape[-2] // group_size)
             ns = shape[:-2] + (rows, shape[-1])
             s = jnp.full(ns, scale / 127.0, jnp.float32)
             return QuantArray(q=q, s=s, group_size=group_size)
