@@ -202,23 +202,27 @@ def _selftest():
     out = {"metric": "pallas kernel selftest (compiled) max abs error",
            "unit": "abs error", "backend": jax.default_backend()}
 
-    # fused dequant matmul, fast + exact modes, decode shape
-    K, N, M, g = 2048, 1024, 8, 64
-    x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
-    w = QuantArray(
-        q=jnp.asarray(rng.integers(-127, 128, (K, N)), jnp.int8),
-        s=jnp.asarray(rng.uniform(0.005, 0.02, (K // g, N)), jnp.float32),
-        group_size=g,
-    )
-    want = np.asarray(_quant_matmul_xla(x.astype(jnp.float32), w))
-    got_fast = np.asarray(quant_matmul(x, w, mode="fast")).astype(np.float32)
-    got_exact = np.asarray(
-        quant_matmul(x.astype(jnp.float32), w, mode="exact"))
-    denom = np.maximum(np.abs(want).max(), 1e-6)
-    out["quant_matmul_fast_rel_err"] = float(
-        np.abs(got_fast - want).max() / denom)
-    out["quant_matmul_exact_rel_err"] = float(
-        np.abs(got_exact - want).max() / denom)
+    # fused dequant matmul, fast + exact modes, decode shape.
+    # M=8 exercises the generic sub-chunked kernel; M=1 the block-diagonal
+    # GEMV path (P = blockdiag(x) @ q, scales on the group partials).
+    K, N, g = 2048, 1024, 64
+    for M, tag in ((8, ""), (1, "_m1")):
+        x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+        w = QuantArray(
+            q=jnp.asarray(rng.integers(-127, 128, (K, N)), jnp.int8),
+            s=jnp.asarray(rng.uniform(0.005, 0.02, (K // g, N)), jnp.float32),
+            group_size=g,
+        )
+        want = np.asarray(_quant_matmul_xla(x.astype(jnp.float32), w))
+        got_fast = np.asarray(
+            quant_matmul(x, w, mode="fast")).astype(np.float32)
+        got_exact = np.asarray(
+            quant_matmul(x.astype(jnp.float32), w, mode="exact"))
+        denom = np.maximum(np.abs(want).max(), 1e-6)
+        out[f"quant_matmul_fast{tag}_rel_err"] = float(
+            np.abs(got_fast - want).max() / denom)
+        out[f"quant_matmul_exact{tag}_rel_err"] = float(
+            np.abs(got_exact - want).max() / denom)
 
     # the PRODUCTION 7B shapes through the layer-indexed (stacked-weight)
     # kernel the decode scan actually runs: fused wqkv, fused w13, and w2 —
@@ -229,8 +233,7 @@ def _selftest():
 
     for tag, (K, N) in {"wqkv": (4096, 12288), "w13": (4096, 22016),
                         "w2": (11008, 4096)}.items():
-        L, M = 2, 8
-        xs = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+        L = 2
         ws = QuantArray(
             q=jnp.asarray(rng.integers(-127, 128, (L, K, N)), jnp.int8),
             s=jnp.asarray(rng.uniform(0.005, 0.02, (L, K // g, N)),
@@ -239,11 +242,14 @@ def _selftest():
         )
         li = jnp.int32(1)
         w1 = QuantArray(q=ws.q[1], s=ws.s[1], group_size=g)
-        want = np.asarray(_quant_matmul_xla(xs.astype(jnp.float32), w1))
-        got = np.asarray(quant_matmul_layered(xs, ws, li)).astype(np.float32)
-        denom = np.maximum(np.abs(want).max(), 1e-6)
-        out[f"quant_matmul_layered_{tag}_rel_err"] = float(
-            np.abs(got - want).max() / denom)
+        for M, mtag in ((8, ""), (1, "_m1")):  # M=1 = the decode/diag path
+            xs = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+            want = np.asarray(_quant_matmul_xla(xs.astype(jnp.float32), w1))
+            got = np.asarray(
+                quant_matmul_layered(xs, ws, li)).astype(np.float32)
+            denom = np.maximum(np.abs(want).max(), 1e-6)
+            out[f"quant_matmul_layered_{tag}{mtag}_rel_err"] = float(
+                np.abs(got - want).max() / denom)
 
     # paged flash-decode attention vs dense oracle (GQA + MHA geometry)
     for tag, (KH, kv_mul, hd) in {"gqa": (4, 8, 64), "mha": (8, 1, 128)}.items():

@@ -88,8 +88,6 @@ def forward_inner(cfg: ModelConfig, params, tokens, positions, kv_cache,
         # (custom-call operands can't fuse a slice) — the stacked arrays
         # stay whole and linear_layered indexes the layer inside the kernel.
         x, k_all, v_all = carry
-        k_cache = lax.dynamic_index_in_dim(k_all, layer_idx, 0, keepdims=False)
-        v_cache = lax.dynamic_index_in_dim(v_all, layer_idx, 0, keepdims=False)
         li = layer_idx
         h = rmsnorm(x, blocks["attn_norm"][li], cfg.norm_eps)
         # local (possibly sharded) head counts from the weight shapes;
@@ -113,10 +111,15 @@ def forward_inner(cfg: ModelConfig, params, tokens, positions, kv_cache,
         q = apply_rope(q, s, c, cfg.rope_style)
         k = apply_rope(k, s, c, cfg.rope_style)
 
-        # Write new K/V into the cache at their positions (the reference
-        # projects straight into cache slices, llama3.cpp:626-632).
-        k_cache = k_cache.at[b_idx, positions].set(k.astype(k_cache.dtype))
-        v_cache = v_cache.at[b_idx, positions].set(v.astype(v_cache.dtype))
+        # Scatter new K/V straight into the STACKED cache at (layer, b, pos)
+        # (the reference projects into cache slices, llama3.cpp:626-632).
+        # Slicing the layer out of the carry and DUS-ing it back — the r2
+        # structure — round-trips the whole [B, S, KH, hd] slice through HBM
+        # four extra times per layer (~1.3 GB/step at 7B, ~15% of decode).
+        k_all = k_all.at[li, b_idx, positions].set(k.astype(k_all.dtype))
+        v_all = v_all.at[li, b_idx, positions].set(v.astype(v_all.dtype))
+        k_cache = lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+        v_cache = lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
 
         attn = attention_dense(q, k_cache, v_cache, positions, kv_len_mask)
         x = x + maybe_psum(
@@ -133,8 +136,6 @@ def forward_inner(cfg: ModelConfig, params, tokens, positions, kv_cache,
         act = (gate.astype(jnp.float32) * jax.nn.sigmoid(gate.astype(jnp.float32))
                ).astype(x.dtype) * up
         x = x + maybe_psum(linear_layered(act, blocks["w2"], li))
-        k_all = lax.dynamic_update_index_in_dim(k_all, k_cache, layer_idx, 0)
-        v_all = lax.dynamic_update_index_in_dim(v_all, v_cache, layer_idx, 0)
         return (x, k_all, v_all), None
 
     layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)

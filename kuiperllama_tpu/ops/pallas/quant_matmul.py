@@ -34,8 +34,17 @@ Performance rules learned the hard way on this hardware (r2):
     explodes on [K, 1024] whole-reduction dequant blocks).
   * bf16 scales are free in fast mode (the kernel casts anyway) and cut
     the scale stream in half — quant.cast_scales at load.
-End-to-end with these rules: Llama-2-7B INT8 B=1 decode at 84.5 tok/s =
-70.3% of the 819 GB/s SPEC-bandwidth roofline, 77.6% of the demonstrated
+  * The per-element dequant multiply is VPU-throughput-bound and does NOT
+    hide behind the MXU: ablating it alone is worth ~7 tok/s at 7B. Fast
+    mode therefore (a) issues dequant+dot per reduction SUB-chunk so Mosaic
+    can overlap chunk i+1's VPU work with chunk i's MXU pass, and (b) for
+    M == 1 (decode GEMV) switches to the block-diagonal path (_kernel_diag):
+    P = blockdiag(x) @ q computes per-GROUP partials in one MXU call (<= 64
+    rows keeps it weight-load-bound, same as the padded M=8 GEMV), and the
+    scales apply to the [ng, TN] partials — 1/64th the VPU work, and in
+    fp32, so it is also slightly MORE accurate.
+End-to-end with these rules: Llama-2-7B INT8 B=1 decode at 91.4 tok/s =
+76.1% of the 819 GB/s SPEC-bandwidth roofline, 84% of the demonstrated
 742 GB/s stream (BENCH_r03; r2 was 61%/72.6 tok/s).
 """
 
@@ -51,6 +60,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ...quant import QuantArray
 
 _DEFAULT_MODE = "fast"
+# Default tile caps (overridable for sweeps): TN <= block_out along the
+# output dim, TK <= block_in along the reduction. 512/4096 won the r3
+# sweep at 7B decode shapes (tools/bench_kernels.py).
+import os as _os
+
+_BLOCK_OUT = int(_os.environ.get("KT_BLOCK_OUT", "512"))
+_BLOCK_IN = int(_os.environ.get("KT_BLOCK_IN", "4096"))
 
 
 def set_quant_matmul_mode(mode: str):
@@ -82,6 +98,21 @@ def _pick_tile(dim: int, quantum: int, cap: int):
     return None
 
 
+def _sub_chunk(tk: int, g: int) -> int:
+    """Reduction sub-chunk for intra-tile VPU/MXU overlap: the smallest
+    divisor of tk that is a multiple of lcm(g, 128) (group- and lane-
+    aligned) giving at most 8 chunks."""
+    import math
+
+    lcm = g * 128 // math.gcd(g, 128)
+    max_chunks = int(_os.environ.get("KT_SUB_CHUNKS", "8"))
+    for n in range(max_chunks, 1, -1):
+        sub = tk // n
+        if tk % n == 0 and sub % lcm == 0:
+            return sub
+    return tk
+
+
 def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, group_size, n_k, mode):
     k = pl.program_id(1)
 
@@ -91,17 +122,31 @@ def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, group_size, n_k, mode):
 
     tk, tn = q_ref.shape
     ng = tk // group_size
+    g = group_size
     if mode == "fast":
         # int8 payloads are exact in bf16; only the scale multiply rounds.
-        # [:ng]: the scales block may carry 8-alignment padding rows
-        qb = q_ref[:].astype(jnp.bfloat16).reshape(ng, group_size, tn)
-        sb = s_ref[:][:ng].astype(jnp.bfloat16)
-        w = (qb * sb[:, None, :]).reshape(tk, tn)
-        acc_ref[:] += jax.lax.dot_general(
-            x_ref[:].astype(jnp.bfloat16), w,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        # [:ng]: the scales block may carry 8-alignment padding rows.
+        # The dequant (cast+scale, VPU) and the dot (MXU) are issued per
+        # SUB-chunk of the reduction so Mosaic can overlap chunk i+1's
+        # dequant with chunk i's MXU pass — one whole-tile dequant feeding
+        # one dot serializes ~1.3us of VPU behind every ~2.2us MXU pass,
+        # which turns a DMA-bound stream compute-bound at decode shapes.
+        sub = _sub_chunk(tk, g)
+        xb = x_ref[:].astype(jnp.bfloat16)
+        sb_all = s_ref[:][:ng].astype(jnp.bfloat16)
+        acc = None
+        for i in range(tk // sub):
+            qb = q_ref[i * sub:(i + 1) * sub, :].astype(jnp.bfloat16)
+            sb = sb_all[i * (sub // g):(i + 1) * (sub // g)]
+            w = (qb.reshape(sub // g, g, tn)
+                 * sb[:, None, :]).reshape(sub, tn)
+            part = jax.lax.dot_general(
+                xb[:, i * sub:(i + 1) * sub], w,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+        acc_ref[:] += acc
     else:
         qf = q_ref[:].astype(jnp.float32).reshape(ng, group_size, tn)
         w = (qf * s_ref[:][:ng][:, None, :]).reshape(tk, tn)
@@ -115,6 +160,44 @@ def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, group_size, n_k, mode):
     @pl.when(k == n_k - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+# GEMV (M == 1) fast path: the per-element dequant multiply is VPU
+# throughput-bound (~0.3us per 512-wide tile) and does NOT hide behind the
+# MXU pass, costing ~12% of Llama-2-7B decode. Instead, compute the
+# GROUP-PARTIAL matrix P[i, n] = sum_{k in group i} x[k] * q[k, n] with one
+# MXU dot of blockdiag(x) [ng, K] against the raw int8 tile — ng <= 64 rows
+# keeps the MXU weight-load-bound exactly like the M=8 GEMV — then apply
+# scales to P ([ng, TN] elements, 1/64th the VPU work) and column-reduce.
+# Bonus: the scale multiply now happens in fp32 on fp32 partials, so this
+# path is MORE accurate than the generic fast mode. Restricted to
+# whole-reduction tiles (n_k == 1) and ng <= _DIAG_MAX_GROUPS (beyond ~64
+# rows the MXU turns feed-bound and the trick inverts).
+_DIAG_MAX_GROUPS = 64
+
+
+def _kernel_diag(a_ref, q_ref, s_ref, o_ref):
+    # a_ref: blockdiag(x) [SROWS, K], built by the caller in XLA (one
+    # ~512 KB materialization per call; its index_map is constant so Pallas
+    # fetches it exactly once) — padded A rows are zero, so their partials
+    # vanish regardless of scale padding content.
+    qb = q_ref[:].astype(jnp.bfloat16)
+    P = jax.lax.dot_general(
+        a_ref[:], qb, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y = jnp.sum(P * s_ref[:].astype(jnp.float32), axis=0)
+    o_ref[:] = jnp.broadcast_to(y[None, :], o_ref.shape).astype(o_ref.dtype)
+
+
+def _blockdiag(x, ngp: int, g: int):
+    """[1_or_more, K] bf16 -> blockdiag of row 0: A[i, k] = x[0, k] if
+    k // g == i else 0, shape [ngp, K]."""
+    K = x.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ngp, K), 0)
+    grp = jax.lax.broadcasted_iota(jnp.int32, (ngp, K), 1) // g
+    return jnp.where(rows == grp, x[0][None, :].astype(jnp.bfloat16),
+                     jnp.bfloat16(0))
 
 
 def _interpret() -> bool:
@@ -168,6 +251,34 @@ def _quant_matmul_2d(x, q, s, group_size: int, block_out: int = 512,
     if n_k == 1 and s.shape[0] % srows_min:
         s = jnp.pad(s, ((0, -s.shape[0] % srows_min), (0, 0)))
     SROWS = TK // g if n_k > 1 else s.shape[0]
+
+    if (mode == "fast" and M == 1 and n_k == 1 and K % g == 0
+            and K // g <= _DIAG_MAX_GROUPS):
+        a = _blockdiag(x, SROWS, g)
+        out = pl.pallas_call(
+            _kernel_diag,
+            grid=(n_n, 1),
+            in_specs=[
+                pl.BlockSpec((SROWS, TK), lambda j, k: (0, 0)),
+                pl.BlockSpec((TK, TN), lambda j, k: (0, j)),
+                pl.BlockSpec((SROWS, TN), lambda j, k: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((TM, TN), lambda j, k: (0, j)),
+            out_shape=jax.ShapeDtypeStruct((TM, n_n * TN), out_dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=96 * 1024 * 1024,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * SROWS * K * N,
+                bytes_accessed=SROWS * K * 2 + K * N + SROWS * N * 4
+                + TM * N * 4,
+                transcendentals=0,
+            ),
+            interpret=_interpret(),
+        )(a, q, s)
+        return out[:M, :N]
+
     kernel = functools.partial(_kernel, group_size=g, n_k=n_k, mode=mode)
     out = pl.pallas_call(
         kernel,
@@ -197,8 +308,10 @@ def _quant_matmul_2d(x, q, s, group_size: int, block_out: int = 512,
 
 
 def quant_matmul(x, w: QuantArray, mode: str | None = None,
-                 block_out: int = 512, block_in: int = 4096):
+                 block_out: int | None = None, block_in: int | None = None):
     """x [..., in] @ QuantArray([in, out]) -> [..., out] in x.dtype."""
+    block_out = block_out or _BLOCK_OUT
+    block_in = block_in or _BLOCK_IN
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
@@ -268,6 +381,41 @@ def _quant_matmul_layered(x, q, s, layer_idx, group_size: int,
     if n_k == 1 and s.shape[1] % srows_min:
         s = jnp.pad(s, ((0, 0), (0, -s.shape[1] % srows_min), (0, 0)))
     SROWS = TK // g if n_k > 1 else s.shape[1]
+
+    if (mode == "fast" and M == 1 and n_k == 1 and K % g == 0
+            and K // g <= _DIAG_MAX_GROUPS):
+        def kernel_d(idx_ref, a_ref, q_ref, s_ref, o_ref):
+            _kernel_diag(a_ref, q_ref, s_ref.at[0], o_ref)
+
+        a = _blockdiag(x, SROWS, g)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_n, 1),
+            in_specs=[
+                pl.BlockSpec((SROWS, TK), lambda j, k, idx: (0, 0)),
+                pl.BlockSpec((TK, TN), lambda j, k, idx: (idx[0], j)),
+                pl.BlockSpec((1, SROWS, TN), lambda j, k, idx: (idx[0], 0, j)),
+            ],
+            out_specs=pl.BlockSpec((TM, TN), lambda j, k, idx: (0, j)),
+        )
+        out = pl.pallas_call(
+            kernel_d,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((TM, N), out_dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=96 * 1024 * 1024,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * SROWS * K * N,
+                bytes_accessed=SROWS * K * 2 + K * N + SROWS * N * 4
+                + TM * N * 4,
+                transcendentals=0,
+            ),
+            interpret=_interpret(),
+        )(layer_idx.reshape(1).astype(jnp.int32), a, q2, s)
+        return out[:M, :N]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_n, n_k),
@@ -300,12 +448,15 @@ def _quant_matmul_layered(x, q, s, layer_idx, group_size: int,
 
 
 def quant_matmul_layered(x, w: QuantArray, layer_idx, mode: str | None = None,
-                         block_out: int = 512, block_in: int = 4096):
+                         block_out: int | None = None,
+                         block_in: int | None = None):
     """x [..., in] @ dequant(stacked QuantArray [L, in, out])[layer_idx].
 
     For use inside lax.scan over layers: pass the UNSLICED stacked weight;
     the kernel's index_map picks the layer, so no per-layer weight copy is
     materialized."""
+    block_out = block_out or _BLOCK_OUT
+    block_in = block_in or _BLOCK_IN
     lead = x.shape[:-1]
     K = x.shape[-1]
     N = w.q.shape[-1]
