@@ -322,7 +322,10 @@ def _bench_engine(args, cfg, params):
                 max_new_tokens=args.steps)
         for i in range(args.requests)
     ]
-    eng.run(mk()[: args.batch])  # warm/compile
+    # warm/compile on the FULL workload: a partial warmup leaves variant
+    # shapes (shrunken admit chunks, wave history buckets) to compile
+    # inside the timed run
+    eng.run(mk())
 
     t0 = time.time()
     done = eng.run(mk())

@@ -325,7 +325,7 @@ class PagedEngine(Engine):
 
     def __init__(self, cfg: ModelConfig, params, tokenizer=None,
                  n_pages: Optional[int] = None, page_size: int = 128,
-                 mesh=None, prefill_chunk: int = 0, admit_chunk: int = 8,
+                 mesh=None, prefill_chunk: int = 0, admit_chunk: int = 32,
                  fuse: bool = True, **kw):
         from ..kvcache import PageAllocator, init_paged_cache
 
@@ -507,9 +507,20 @@ class PagedEngine(Engine):
 
         # shrink the decode chunk while an admission is pending: queued
         # requests then wait at most admit_chunk decode steps (not a whole
-        # chunk) before their (chunked) prefill starts
+        # chunk) before their (chunked) prefill starts. Shrink ONLY while an
+        # admission could actually begin soon — a wave mid-prefill, or
+        # queued work with a free slot (or one about to free: budget within
+        # one chunk). Shrinking whenever the queue was non-empty (the first
+        # implementation) ran the whole decode in admit_chunk-step chunks
+        # with a ~26 ms host fetch each even when every slot stayed busy for
+        # hundreds more steps — 3x slower end-to-end than not chunking.
         steps = self.chunk
-        if self.prefill_chunk and (self.queue or self._wave is not None):
+        if self.prefill_chunk and (
+            self._wave is not None
+            or (self.queue and (
+                self._free_slots()
+                or min(self._slot_budget[s] for s in self.active)
+                <= self.chunk))):
             steps = min(self.chunk, self.admit_chunk)
         # pre-extend every active sequence's pages to cover the chunk
         pos_np = np.asarray(self.pos)

@@ -109,3 +109,52 @@ def test_layered_odd_shape_fallback(rng):
     wl = QuantArray(q=jnp.asarray(q[1]), s=jnp.asarray(s[1]), group_size=g)
     want = np.asarray(_quant_matmul_xla(jnp.asarray(x), wl))
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_diag_gemv_matches_oracle(rng):
+    """M=1 fast mode takes the block-diagonal GEMV path (P = blockdiag(x) @ q,
+    scales applied to the group partials in fp32) — parity vs the oracle at
+    several group counts, incl. a non-16-multiple ng and bf16 scales."""
+    import jax.numpy as jnp
+    from kuiperllama_tpu.quant import QuantArray
+
+    for K, N, g in [(256, 384, 64), (896, 256, 64), (4096, 512, 64)]:
+        ng = K // g
+        q = rng.integers(-127, 128, (K, N)).astype(np.int8)
+        s = rng.uniform(0.005, 0.02, (ng, N)).astype(np.float32)
+        x = rng.standard_normal((1, K)).astype(np.float32)
+        w = QuantArray(q=jnp.asarray(q), s=jnp.asarray(s), group_size=g)
+        want = np.asarray(_quant_matmul_xla(jnp.asarray(x), w))
+        got = np.asarray(
+            quant_matmul(jnp.asarray(x, jnp.bfloat16), w, mode="fast"),
+            dtype=np.float32)
+        rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        assert rel < 1e-2, (K, N, rel)
+        # bf16 scales (the production load path casts them)
+        wb = QuantArray(q=w.q, s=w.s.astype(jnp.bfloat16), group_size=g)
+        got_b = np.asarray(
+            quant_matmul(jnp.asarray(x, jnp.bfloat16), wb, mode="fast"),
+            dtype=np.float32)
+        rel_b = np.abs(got_b - want).max() / (np.abs(want).max() + 1e-9)
+        assert rel_b < 2e-2, (K, N, rel_b)
+
+
+def test_diag_gemv_layered_matches_sliced(rng):
+    """M=1 layered fast mode (the decode scan path) == slicing the layer."""
+    import jax.numpy as jnp
+    from kuiperllama_tpu.ops.pallas.quant_matmul import quant_matmul_layered
+    from kuiperllama_tpu.quant import QuantArray
+
+    L, K, N, g = 3, 512, 256, 64
+    q = rng.integers(-127, 128, (L, K, N)).astype(np.int8)
+    s = rng.uniform(0.005, 0.02, (L, K // g, N)).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((1, K)), jnp.bfloat16)
+    w = QuantArray(q=jnp.asarray(q), s=jnp.asarray(s), group_size=g)
+    for li in range(L):
+        got = np.asarray(quant_matmul_layered(x, w, jnp.int32(li)),
+                         dtype=np.float32)
+        wl = QuantArray(q=jnp.asarray(q[li]), s=jnp.asarray(s[li]),
+                        group_size=g)
+        want = np.asarray(_quant_matmul_xla(x.astype(jnp.float32), wl))
+        rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        assert rel < 1e-2, (li, rel)

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Run the full benchmark matrix and commit one artifact per README claim.
+
+Runs bench.py serially (NEVER two TPU processes — they serialize through
+the axon tunnel and both blow their timeouts) over the BASELINE.md config
+list, collects each JSON line, and writes BENCH_MATRIX_r{N}.json.
+
+  python tools/bench_matrix.py [--out BENCH_MATRIX_r03.json] [--only tag]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# tag -> bench.py argv. Mirrors BASELINE.md "configs to report" plus the
+# engine/long-context evidence the r2 verdict asked for.
+CONFIGS = {
+    # headline: single-chip Llama-2-7B INT8 decode (runs the selftest too)
+    "llama2-7b_int8_b1": ["--model", "llama2-7b"],
+    "llama2-7b_int8_b8": ["--model", "llama2-7b", "--batch", "8",
+                          "--no-selftest"],
+    "tinyllama_int8_b1": ["--model", "tinyllama-1.1b", "--no-selftest"],
+    # the reference's headline config (fp32 TinyLlama on an RTX 3060)
+    "tinyllama_fp_b1": ["--model", "tinyllama-1.1b", "--fp", "--no-selftest"],
+    "llama3.2-1b_int8_b1": ["--model", "llama3.2-1b", "--no-selftest"],
+    "qwen2.5-0.5b_fp_b1": ["--model", "qwen2.5-0.5b", "--fp",
+                           "--no-selftest"],
+    # continuous batching (paged KV), machine-readable TTFT
+    "engine_paged_8slots": ["--model", "llama2-7b", "--engine",
+                            "--no-selftest"],
+    # chunked prefill under a ragged long-prompt mix (chunk must be a
+    # page-size multiple; 4 slots — a 2048-token pool for 8 slots plus 7B
+    # weights exceeds the 16 GB HBM)
+    "engine_paged_chunked_ragged": [
+        "--model", "llama2-7b", "--engine", "--prefill-chunk", "128",
+        "--long-prompt", "512", "--cache-len", "2048", "--batch", "4",
+        "--requests", "8", "--no-selftest"],
+    # paged-vs-dense at long context: every request's prompt is 1500 tokens
+    "engine_dense_longctx": [
+        "--model", "llama2-7b", "--engine", "--engine-backend", "dense",
+        "--prompt-len", "1500", "--long-prompt", "0", "--cache-len", "2048",
+        "--steps", "64", "--requests", "8", "--batch", "4", "--no-selftest"],
+    "engine_paged_longctx": [
+        "--model", "llama2-7b", "--engine", "--engine-backend", "paged",
+        "--prompt-len", "1500", "--long-prompt", "0", "--cache-len", "2048",
+        "--steps", "64", "--requests", "8", "--batch", "4", "--no-selftest"],
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated tags to (re)run")
+    ap.add_argument("--timeout", type=int, default=580)
+    args = ap.parse_args()
+    out_path = args.out or os.path.join(ROOT, "BENCH_MATRIX.json")
+
+    results = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f).get("runs", {})
+
+    tags = (args.only.split(",") if args.only else list(CONFIGS))
+    for tag in tags:
+        argv = CONFIGS[tag]
+        t0 = time.time()
+        print(f"[matrix] {tag}: bench.py {' '.join(argv)}", file=sys.stderr)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(ROOT, "bench.py"), *argv],
+                capture_output=True, text=True, timeout=args.timeout,
+                cwd=ROOT,
+            )
+            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+            rec = json.loads(line)
+        except Exception as e:  # noqa: BLE001
+            rec = {"error": repr(e)[:500]}
+        rec["_argv"] = argv
+        rec["_wall_s"] = round(time.time() - t0, 1)
+        results[tag] = rec
+        print(f"[matrix] {tag}: {json.dumps({k: v for k, v in rec.items() if not k.startswith('_') and k != 'probes'})}",
+              file=sys.stderr)
+        # persist incrementally so a timeout doesn't lose earlier runs
+        with open(out_path, "w") as f:
+            json.dump({"generated_unix": int(time.time()), "runs": results},
+                      f, indent=1)
+
+    print(json.dumps({"metric": "bench matrix configs completed",
+                      "value": sum(1 for r in results.values()
+                                   if "error" not in r),
+                      "unit": "configs", "vs_baseline": 0.0,
+                      "out": out_path}))
+
+
+if __name__ == "__main__":
+    main()
