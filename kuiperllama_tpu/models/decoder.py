@@ -53,17 +53,24 @@ def build_rope(cfg: ModelConfig):
 
 def forward_inner(cfg: ModelConfig, params, tokens, positions, kv_cache,
                   kv_len_mask=None, tp_axis: Optional[str] = None,
-                  logits_all_gather: bool = True):
+                  logits_all_gather: bool = True, last_pos=None):
     """Un-jitted forward body (jit/shard_map wrappers below).
 
     tokens:    int32 [B, T]
-    positions: int32 [B, T] absolute positions (cache slot == position)
+    positions: int32 [B, T] absolute positions (cache slot == position).
+               Out-of-range positions (>= S) DROP their cache write — rows
+               of an admit batch that must not touch the cache (already-
+               active slots) pass a sentinel position.
     kv_cache:  dict(k, v) [L, B, S, KH_local, hd]; updated functionally.
     kv_len_mask: optional [B, S] bool of valid slots for ragged batches.
     tp_axis:   name of the tensor-parallel mesh axis when running as a
                shard_map body (adds psums after row-parallel matmuls).
+    last_pos:  optional [B] int32 — compute logits ONLY at this token index
+               per row (prefill wants the final real token's logits; the
+               full [B, T, vocab] fp32 tensor is ~1 GB at 7B prefill
+               shapes and its lm_head matmul is pure waste).
 
-    Returns (logits fp32 [B, T, vocab_local_or_global], new_kv_cache).
+    Returns (logits fp32 [B, T_or_1, vocab_local_or_global], new_kv_cache).
     """
     B, T = tokens.shape
     hd = cfg.head_dim
@@ -116,8 +123,13 @@ def forward_inner(cfg: ModelConfig, params, tokens, positions, kv_cache,
         # Slicing the layer out of the carry and DUS-ing it back — the r2
         # structure — round-trips the whole [B, S, KH, hd] slice through HBM
         # four extra times per layer (~1.3 GB/step at 7B, ~15% of decode).
-        k_all = k_all.at[li, b_idx, positions].set(k.astype(k_all.dtype))
-        v_all = v_all.at[li, b_idx, positions].set(v.astype(v_all.dtype))
+        # mode="drop": sentinel positions (>= S) must NOT clip to the last
+        # slot — in-place admit prefills pass them for rows whose cache is
+        # live (see serving.engine._admit_prefill).
+        k_all = k_all.at[li, b_idx, positions].set(k.astype(k_all.dtype),
+                                                   mode="drop")
+        v_all = v_all.at[li, b_idx, positions].set(v.astype(v_all.dtype),
+                                                   mode="drop")
         k_cache = lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
         v_cache = lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
 
@@ -142,6 +154,9 @@ def forward_inner(cfg: ModelConfig, params, tokens, positions, kv_cache,
     (x, new_k, new_v), _ = lax.scan(
         layer_body, (x, kv_cache["k"], kv_cache["v"]), layer_ids,
     )
+    if last_pos is not None:
+        x = jnp.take_along_axis(
+            x, last_pos[:, None, None].astype(jnp.int32), axis=1)
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     logits = linear(x, params["lm_head"]).astype(jnp.float32)
     if tp_axis and logits_all_gather:
@@ -152,9 +167,10 @@ def forward_inner(cfg: ModelConfig, params, tokens, positions, kv_cache,
 
 @partial(jax.jit, static_argnames=("cfg",))
 def forward(cfg: ModelConfig, params, tokens, positions, kv_cache,
-            kv_len_mask=None):
+            kv_len_mask=None, last_pos=None):
     """Single-device jitted forward over [B, T] tokens."""
-    return forward_inner(cfg, params, tokens, positions, kv_cache, kv_len_mask)
+    return forward_inner(cfg, params, tokens, positions, kv_cache, kv_len_mask,
+                         last_pos=last_pos)
 
 
 def prefill(cfg: ModelConfig, params, tokens, kv_cache, prompt_lens=None,
@@ -173,7 +189,14 @@ def prefill(cfg: ModelConfig, params, tokens, kv_cache, prompt_lens=None,
     slot = jnp.arange(S, dtype=jnp.int32)
     kv_len_mask = slot[None, :] < prompt_lens[:, None]
     fwd = forward_fn or forward
-    logits, cache = fwd(cfg, params, tokens, positions, kv_cache, kv_len_mask)
+    try:
+        logits, cache = fwd(cfg, params, tokens, positions, kv_cache,
+                            kv_len_mask, last_pos=prompt_lens - 1)
+        return logits[:, 0], cache
+    except TypeError:
+        # forward_fn without last_pos support: full logits, slice after
+        logits, cache = fwd(cfg, params, tokens, positions, kv_cache,
+                            kv_len_mask)
     last = jnp.take_along_axis(
         logits, (prompt_lens - 1)[:, None, None].astype(jnp.int32), axis=1
     )[:, 0]

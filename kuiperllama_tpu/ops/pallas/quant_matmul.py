@@ -113,8 +113,15 @@ def _sub_chunk(tk: int, g: int) -> int:
     return tk
 
 
-def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, group_size, n_k, mode):
-    k = pl.program_id(1)
+# Cap on the M (rows) block: decode GEMVs (M <= 8) take one block, but a
+# batched 7B prefill feeds M = B*T in the thousands — an uncapped [M, K]
+# x-block (64 MB at M=8192, K=4096) blows the VMEM budget at compile time.
+_BLOCK_M = 512
+
+
+def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, group_size, n_k, mode,
+            k_axis=1):
+    k = pl.program_id(k_axis)
 
     @pl.when(k == 0)
     def _():
@@ -279,27 +286,35 @@ def _quant_matmul_2d(x, q, s, group_size: int, block_out: int = 512,
         )(a, q, s)
         return out[:M, :N]
 
-    kernel = functools.partial(_kernel, group_size=g, n_k=n_k, mode=mode)
+    # M-grid: prefill feeds M = B*T in the thousands; cap the rows block
+    # (decode GEMVs keep a single block)
+    TMb = min(TM, _BLOCK_M)
+    n_m = _cdiv(TM, TMb)
+    if TM != n_m * TMb:
+        x = jnp.pad(x, ((0, n_m * TMb - TM), (0, 0)))
+    kernel = functools.partial(_kernel, group_size=g, n_k=n_k, mode=mode,
+                               k_axis=2)
     out = pl.pallas_call(
         kernel,
-        grid=(n_n, n_k),
+        grid=(n_m, n_n, n_k),
         in_specs=[
-            pl.BlockSpec((TM, TK), lambda j, k: (0, k)),
-            pl.BlockSpec((TK, TN), lambda j, k: (k, j)),
-            pl.BlockSpec((SROWS, TN), lambda j, k: (k, j)),
+            pl.BlockSpec((TMb, TK), lambda m, j, k: (m, k)),
+            pl.BlockSpec((TK, TN), lambda m, j, k: (k, j)),
+            pl.BlockSpec((SROWS, TN), lambda m, j, k: (k, j)),
         ],
-        out_specs=pl.BlockSpec((TM, TN), lambda j, k: (0, j)),
-        out_shape=jax.ShapeDtypeStruct((TM, n_n * TN), out_dtype),
-        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
+        out_specs=pl.BlockSpec((TMb, TN), lambda m, j, k: (m, j)),
+        out_shape=jax.ShapeDtypeStruct((n_m * TMb, n_n * TN), out_dtype),
+        scratch_shapes=[pltpu.VMEM((TMb, TN), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
             # this chip has 128 MB VMEM; the default 16 MB scoped budget
             # rejects whole-reduction tiles (w2 at K=11008 needs ~18 MB)
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * TM * K * N,
-            bytes_accessed=TM * K * 4 + K * N + (K // g) * N * 4 + TM * N * 4,
+            bytes_accessed=TM * K * 4 + n_m * K * N + (K // g) * N * 4
+            + TM * N * 4,
             transcendentals=0,
         ),
         interpret=_interpret(),
@@ -380,7 +395,7 @@ def _quant_matmul_layered(x, q, s, layer_idx, group_size: int,
         # idx_ref is consumed by the index_maps; the body is the 2-D kernel
         # (scales arrive as a [1, TK//g, TN] block of the 3-D array)
         _kernel(x_ref, q_ref, s_ref.at[0], o_ref, acc_ref,
-                group_size=g, n_k=n_k, mode=mode)
+                group_size=g, n_k=n_k, mode=mode, k_axis=2)
     # TK == K: one scales block spanning the whole (8-padded) row axis.
     # Same sublane-alignment rule as the 2-D kernel; the pad below is a
     # per-call copy of the whole stacked scales array, so production MUST
@@ -424,30 +439,39 @@ def _quant_matmul_layered(x, q, s, layer_idx, group_size: int,
         )(layer_idx.reshape(1).astype(jnp.int32), a, q2, s)
         return out[:M, :N]
 
+    # M-grid: prefill feeds M = B*T in the thousands; cap the rows block
+    # (decode GEMVs keep a single block)
+    TMb = min(TM, _BLOCK_M)
+    n_m = _cdiv(TM, TMb)
+    if TM != n_m * TMb:
+        x = jnp.pad(x, ((0, n_m * TMb - TM), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_n, n_k),
+        grid=(n_m, n_n, n_k),
         in_specs=[
-            pl.BlockSpec((TM, TK), lambda j, k, idx: (0, k)),
-            pl.BlockSpec((TK, TN), lambda j, k, idx: (idx[0] * n_k + k, j)),
-            pl.BlockSpec((1, SROWS, TN), lambda j, k, idx: (idx[0], k, j)),
+            pl.BlockSpec((TMb, TK), lambda m, j, k, idx: (m, k)),
+            pl.BlockSpec((TK, TN),
+                         lambda m, j, k, idx: (idx[0] * n_k + k, j)),
+            pl.BlockSpec((1, SROWS, TN),
+                         lambda m, j, k, idx: (idx[0], k, j)),
         ],
-        out_specs=pl.BlockSpec((TM, TN), lambda j, k, idx: (0, j)),
-        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
+        out_specs=pl.BlockSpec((TMb, TN), lambda m, j, k, idx: (m, j)),
+        scratch_shapes=[pltpu.VMEM((TMb, TN), jnp.float32)],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((TM, N), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((n_m * TMb, N), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
             # this chip has 128 MB VMEM; the default 16 MB scoped budget
             # rejects whole-reduction tiles (w2 at K=11008 needs ~18 MB)
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * TM * K * N,
-            bytes_accessed=TM * K * 4 + K * N + (K // g) * N * 4 + TM * N * 4,
+            bytes_accessed=TM * K * 4 + n_m * K * N + (K // g) * N * 4
+            + TM * N * 4,
             transcendentals=0,
         ),
         interpret=_interpret(),
