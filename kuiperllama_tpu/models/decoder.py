@@ -189,14 +189,18 @@ def prefill(cfg: ModelConfig, params, tokens, kv_cache, prompt_lens=None,
     slot = jnp.arange(S, dtype=jnp.int32)
     kv_len_mask = slot[None, :] < prompt_lens[:, None]
     fwd = forward_fn or forward
-    try:
+    # Explicit capability flag (NOT a try/except TypeError probe: a
+    # forward_fn taking **kwargs would silently ignore last_pos and return
+    # position-0 logits, and a genuine TypeError during tracing would
+    # silently re-trace). The module-level `forward` supports it; custom
+    # forward_fns opt in by setting `supports_last_pos = True`.
+    if getattr(fwd, "supports_last_pos", fwd is forward):
         logits, cache = fwd(cfg, params, tokens, positions, kv_cache,
                             kv_len_mask, last_pos=prompt_lens - 1)
         return logits[:, 0], cache
-    except TypeError:
-        # forward_fn without last_pos support: full logits, slice after
-        logits, cache = fwd(cfg, params, tokens, positions, kv_cache,
-                            kv_len_mask)
+    # forward_fn without last_pos support: full logits, slice after
+    logits, cache = fwd(cfg, params, tokens, positions, kv_cache,
+                        kv_len_mask)
     last = jnp.take_along_axis(
         logits, (prompt_lens - 1)[:, None, None].astype(jnp.int32), axis=1
     )[:, 0]

@@ -63,6 +63,10 @@ _DEFAULT_MODE = "fast"
 # Default tile caps (overridable for sweeps): TN <= block_out along the
 # output dim, TK <= block_in along the reduction. 512/4096 won the r3
 # sweep at 7B decode shapes (tools/bench_kernels.py).
+# PROCESS-START-ONLY knobs: these env vars are read once at import (and
+# KT_SUB_CHUNKS at first trace) and baked into the jitted kernel cache —
+# changing them mid-process silently keeps the old tiling. Sweep harnesses
+# must spawn a fresh interpreter per setting (tools/bench_kernels.py does).
 import os as _os
 
 _BLOCK_OUT = int(_os.environ.get("KT_BLOCK_OUT", "512"))
@@ -120,7 +124,7 @@ _BLOCK_M = 512
 
 
 def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, group_size, n_k, mode,
-            k_axis=1):
+            k_axis):
     k = pl.program_id(k_axis)
 
     @pl.when(k == 0)

@@ -34,6 +34,10 @@ class ShardedForward:
     Built once per (cfg, mesh, params-structure); reuse across calls.
     """
 
+    # decoder.prefill capability flag: this callable does not take last_pos
+    # (full [B, T, vocab] logits come back; prefill slices after)
+    supports_last_pos = False
+
     def __init__(self, cfg: ModelConfig, mesh: Mesh, params_example):
         validate_tp(cfg, mesh.shape[MODEL_AXIS])
         self.cfg = cfg

@@ -519,8 +519,9 @@ class PagedEngine(Engine):
             self._wave is not None
             or (self.queue and (
                 self._free_slots()
-                or min(self._slot_budget[s] for s in self.active)
-                <= self.chunk))):
+                or (self.active
+                    and min(self._slot_budget[s] for s in self.active)
+                    <= self.chunk)))):
             steps = min(self.chunk, self.admit_chunk)
         # pre-extend every active sequence's pages to cover the chunk
         pos_np = np.asarray(self.pos)
