@@ -64,14 +64,18 @@ def _qkv(cfg, blocks, li, x, s, c, B, T):
     return q, k, v, H, KH
 
 
-def _mlp_residual(cfg, blocks, li, x, attn_out, B, T, H, hd, tp_axis=None):
+def _mlp_residual(cfg, blocks, li, x, attn_out, B, T, H, hd, tp_axis=None,
+                  wo_psum=True):
     """Attention output projection + SwiGLU MLP with residuals. Under tensor
-    parallelism (tp_axis set) wo/w2 are row-parallel: psum after each."""
-    def maybe_psum(v):
-        return lax.psum(v, tp_axis) if tp_axis else v
+    parallelism (tp_axis set) wo/w2 are row-parallel: psum after each.
+    Sequence-parallel mode replicates wo (wo_psum=False) — only w2's psum
+    remains."""
+    def maybe_psum(v, on=True):
+        return lax.psum(v, tp_axis) if (tp_axis and on) else v
 
     x = x + maybe_psum(
-        linear_layered(attn_out.reshape(B, T, H * hd), blocks["wo"], li))
+        linear_layered(attn_out.reshape(B, T, H * hd), blocks["wo"], li),
+        on=wo_psum)
     h = rmsnorm(x, blocks["ffn_norm"][li], cfg.norm_eps)
     if "w13" in blocks:  # fused gate|up projection (fuse.py)
         hidden = blocks["w2"].shape[-2]
@@ -129,7 +133,8 @@ def _write_chunk_pages(layer_idx, kp_all, vp_all, k2, v2, chunk_pages, ps):
 
 def prefill_paged_inner(cfg: ModelConfig, params, tokens, prompt_lens,
                         k_pages, v_pages, token_pages, token_offs,
-                        tp_axis=None, logits_all_gather: bool = True):
+                        tp_axis=None, logits_all_gather: bool = True,
+                        seqpar: bool = False):
     """Batched prefill of admitted requests (the round-1 engine prefilled
     one request at a time, stalling decode per admission — this runs ONE
     forward for the whole admit batch). Un-jitted body; see prefill_paged
@@ -164,8 +169,17 @@ def prefill_paged_inner(cfg: ModelConfig, params, tokens, prompt_lens,
     ps = k_pages.shape[2]
     P = k_pages.shape[1]
     chunk_pages = token_pages[:, ::ps]  # [B, n_chunks]
-    chunk_pages = jnp.where(
-        (chunk_pages < 0) | (chunk_pages >= P), 0, chunk_pages)
+    if seqpar:
+        # page-dim sharding (parallel/seqpar.py): P is the LOCAL pool size;
+        # global page g belongs to shard g // P. Non-owned chunks (and the
+        # 2**30 padding sentinel, whose owner index matches no shard) write
+        # the shard's local garbage page 0.
+        my_shard = lax.axis_index(tp_axis)
+        chunk_pages = jnp.where(chunk_pages // P == my_shard,
+                                chunk_pages % P, 0)
+    else:
+        chunk_pages = jnp.where(
+            (chunk_pages < 0) | (chunk_pages >= P), 0, chunk_pages)
     n_chunks = chunk_pages.shape[1]
     # page-granular writes: n_full whole-page chunks stream through ONE
     # fori_loop of dynamic_update_slice ops (in place through the loop
@@ -182,20 +196,22 @@ def prefill_paged_inner(cfg: ModelConfig, params, tokens, prompt_lens,
         kp_all, vp_all = _write_chunk_pages(
             layer_idx, kp_all, vp_all, k2, v2, chunk_pages, ps)
         x = _mlp_residual(cfg, blocks, layer_idx, x, attn, B, T, H, hd,
-                          tp_axis)
+                          tp_axis, wo_psum=not seqpar)
         return (x, kp_all, vp_all), None
 
     layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
     (x, k_pages, v_pages), _ = lax.scan(
         layer_body, (x, k_pages, v_pages), layer_ids
     )
-    x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
-    logits = linear(x, params["lm_head"]).astype(jnp.float32)
+    # only each row's final prompt token goes through the lm_head (the full
+    # [B, T, vocab] fp32 logits tensor is ~1 GB at 7B long-prompt shapes
+    # and its matmul is pure waste)
+    x_last = jnp.take_along_axis(
+        x, (prompt_lens - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    x_last = rmsnorm(x_last, params["final_norm"], cfg.norm_eps)
+    last = linear(x_last, params["lm_head"]).astype(jnp.float32)
     if tp_axis and logits_all_gather:
-        logits = lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
-    last = jnp.take_along_axis(
-        logits, (prompt_lens - 1)[:, None, None].astype(jnp.int32), axis=1
-    )[:, 0]
+        last = lax.all_gather(last, tp_axis, axis=-1, tiled=True)
     return last, k_pages, v_pages
 
 
@@ -327,7 +343,8 @@ def decode_chunk_paged_inner(cfg: ModelConfig, params, token, pos,
                              page_table_dev, flat_b, flat_page, flat_tok0,
                              n_items, steps: int, page_size: int = 128,
                              temperature: float = 0.0, top_k: int = 0,
-                             top_p: float = 1.0, tp_axis=None):
+                             top_p: float = 1.0, tp_axis=None,
+                             seqpar: bool = False, covered=None):
     """Run `steps` decode iterations over the paged cache.
 
     token/pos/done: [B] current state. page_table_dev: [B, max_pages] int32
@@ -337,6 +354,16 @@ def decode_chunk_paged_inner(cfg: ModelConfig, params, token, pos,
     Under tensor parallelism (tp_axis set, see parallel/sharded_paged.py)
     pages/weights are local shards, the work list is replicated, and logits
     are all-gathered before sampling so every shard samples the same token.
+
+    seqpar=True (tp_axis required; see parallel/seqpar.py): the pools are
+    sharded over the PAGE dim instead of lanes. Every shard computes the
+    full q/k/v (attention weights replicated), writes only the pages it
+    owns (global page g belongs to shard g // P_local; non-owned writes go
+    to the shard's local garbage page 0), runs the flash kernel over ITS
+    pages via a per-shard work list, and the partial (acc, m, l) stats are
+    all-gathered and merged exactly (merge_flash_many). `covered` [B] bool
+    marks rows this shard's work list touches — uncovered rows' kernel
+    outputs are never written and are neutralized before the merge.
     Returns (tokens [B, steps], token, pos, k_pages, v_pages, done, rng).
     """
     B = token.shape[0]
@@ -344,6 +371,10 @@ def decode_chunk_paged_inner(cfg: ModelConfig, params, token, pos,
     sin, cos = build_rope(cfg)
     b_idx = jnp.arange(B, dtype=jnp.int32)
     blocks = params["blocks"]
+    if seqpar:
+        assert tp_axis is not None and covered is not None
+        my_shard = lax.axis_index(tp_axis)
+        P_local = k_pages.shape[1]
 
     def step(carry, _):
         token, pos, k_pages, v_pages, done, rng = carry
@@ -352,6 +383,11 @@ def decode_chunk_paged_inner(cfg: ModelConfig, params, token, pos,
         seq_lens = pos + 1
         write_page = page_table_dev[b_idx, pos // page_size]
         write_off = pos % page_size
+        if seqpar:
+            # ownership redirect: non-owned writes target the local garbage
+            # page 0 (reserved on every shard by the allocator)
+            write_page = jnp.where(write_page // P_local == my_shard,
+                                   write_page % P_local, 0)
 
         def layer_body(carry, layer_idx):
             x, kp_all, vp_all = carry
@@ -372,13 +408,25 @@ def decode_chunk_paged_inner(cfg: ModelConfig, params, token, pos,
                                                       start)
                     vp_all = lax.dynamic_update_slice(vp_all, v2[b][None],
                                                       start)
-            acc, _, l = paged_attention_flat(
+            acc, m, l = paged_attention_flat(
                 q[:, 0], kp_all, vp_all, flat_b, flat_page, flat_tok0,
                 n_items, seq_lens, page_size=page_size, layer_idx=layer_idx,
             )
-            attn = (acc / jnp.maximum(l[..., None], 1e-30)).astype(x.dtype)
+            if seqpar:
+                from ..ops.pallas.paged_attention import merge_flash_many
+
+                # uncovered rows were never written by the kernel:
+                # neutralize to the flash identity before the exact merge
+                cov = covered[:, None]
+                acc = jnp.where(cov[..., None], acc, 0.0)
+                m = jnp.where(cov, m, -1e30)
+                l = jnp.where(cov, l, 0.0)
+                parts = lax.all_gather((acc, m, l), tp_axis)  # [sp, ...]
+                attn = merge_flash_many(*parts, axis=0).astype(x.dtype)
+            else:
+                attn = (acc / jnp.maximum(l[..., None], 1e-30)).astype(x.dtype)
             x = _mlp_residual(cfg, blocks, layer_idx, x, attn[:, None], B, 1,
-                              H, hd, tp_axis)
+                              H, hd, tp_axis, wo_psum=not seqpar)
             return (x, kp_all, vp_all), None
 
         layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)

@@ -13,11 +13,26 @@ for short caches.
 """
 
 import jax.numpy as jnp
+from jax import lax
 
 NEG_INF = -1e30
 
+# Long-prompt prefill guard: the score tensor is [B, T, H, S] fp32 — at 7B
+# with B=4, T=S=2048 that is ~2.1 GB per layer (plus exp/softmax
+# temporaries), which OOMs a 16 GB chip on top of 6.8 GB weights and a
+# multi-GB KV pool (the r3 long-context bench rows died exactly here).
+# Above _BLOCK_THRESHOLD_BYTES the query axis is processed in _Q_BLOCK
+# chunks via lax.map: the T split is embarrassingly parallel, so blocked
+# output matches unblocked to XLA dot-vectorization noise (~1e-7 fp32) —
+# only peak memory changes (bounded to [B, _Q_BLOCK, H, S]).
+# The reference needs no analogue: its serial per-head scan
+# (kuiper/source/op/kernels/cuda/mha_kernel.cu:61-130) is O(pos) memory.
+_Q_BLOCK = 256
+_BLOCK_THRESHOLD_BYTES = 192 * 1024 * 1024
 
-def attention_dense(q, k_cache, v_cache, q_positions, kv_len_mask=None):
+
+def attention_dense(q, k_cache, v_cache, q_positions, kv_len_mask=None,
+                    q_block=None):
     """Attention of q against a dense cache where slot index == position.
 
     q:        [B, T, H, hd]
@@ -26,9 +41,33 @@ def attention_dense(q, k_cache, v_cache, q_positions, kv_len_mask=None):
     q_positions: [B, T] int32 — absolute position of each query token.
     kv_len_mask: optional [B, S] bool — valid cache slots (defaults to
       slot <= q_position, the causal rule; pass explicitly for ragged batches).
+    q_block: query-axis block size for the memory-bounded path (None =
+      auto: block only when the fp32 score tensor would exceed
+      _BLOCK_THRESHOLD_BYTES and T divides evenly).
 
     Returns [B, T, H, hd] in q.dtype.
     """
+    B, T, H, hd = q.shape
+    S = k_cache.shape[1]
+    if q_block is None:
+        if (4 * B * T * H * S > _BLOCK_THRESHOLD_BYTES
+                and T > _Q_BLOCK and T % _Q_BLOCK == 0):
+            q_block = _Q_BLOCK
+    if q_block and T > q_block and T % q_block == 0:
+        nb = T // q_block
+        q_blocks = jnp.moveaxis(q.reshape(B, nb, q_block, H, hd), 1, 0)
+        p_blocks = jnp.moveaxis(q_positions.reshape(B, nb, q_block), 1, 0)
+        out = lax.map(
+            lambda args: _attention_full(args[0], k_cache, v_cache, args[1],
+                                         kv_len_mask),
+            (q_blocks, p_blocks),
+        )
+        return jnp.moveaxis(out, 0, 1).reshape(B, T, H, hd)
+    return _attention_full(q, k_cache, v_cache, q_positions, kv_len_mask)
+
+
+def _attention_full(q, k_cache, v_cache, q_positions, kv_len_mask=None):
+    """Unblocked attention body (see attention_dense)."""
     B, T, H, hd = q.shape
     S, KH = k_cache.shape[1], k_cache.shape[2]
     kv_mul = H // KH

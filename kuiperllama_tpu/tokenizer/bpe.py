@@ -63,6 +63,12 @@ class BpeTokenizer(Tokenizer):
         return self.tk.get_vocab_size()
 
     def encode(self, text: str, bos: Optional[bool] = None, eos: bool = False) -> List[int]:
+        # Special tokens appearing IN the text (e.g. "<|eot_id|>") are
+        # parsed to their ids, matching the reference's special-token regex
+        # scan (tiktoken.h:167-186): HF `tokenizers` matches AddedTokens
+        # during pre-tokenization regardless of add_special_tokens, which
+        # only gates the post-processor template (we add bos ourselves).
+        # Pinned by tests/test_tokenizer.py::test_bpe_special_tokens_in_text.
         ids = self.tk.encode(text, add_special_tokens=False).ids
         if bos is None:
             bos = self.default_bos

@@ -122,3 +122,34 @@ def test_bpe_tokenizer_json(tmp_path):
     assert tok.decode(ids) == "hello world"
     assert tok.is_stop(tok.tk.token_to_id("<|eot_id|>"))
     assert not tok.is_stop(ids[-1])
+
+
+def test_bpe_special_tokens_in_text(tmp_path):
+    """Special tokens typed INTO the prompt must parse to their ids, matching
+    the reference's special-token regex scan (tiktoken.h:167-186) — not
+    tokenize as literal text (r3 VERDICT missing #3)."""
+    tokenizers = pytest.importorskip("tokenizers")
+    from tokenizers import Tokenizer as HFTok, decoders, models, pre_tokenizers, trainers
+
+    tk = HFTok(models.BPE(unk_token=None))
+    tk.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tk.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=400,
+        special_tokens=["<|begin_of_text|>", "<|end_of_text|>", "<|eot_id|>"],
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+    )
+    tk.train_from_iterator(
+        ["hello world", "the quick brown fox", "hello there"], trainer
+    )
+    path = str(tmp_path / "tokenizer.json")
+    tk.save(path)
+
+    tok = load_tokenizer(path, family="llama3")
+    eot = tok.tk.token_to_id("<|eot_id|>")
+    ids = tok.encode("hello<|eot_id|>world", bos=False)
+    assert eot in ids, (ids, eot)
+    # and it is ONE token, not a literal "<|eot_id|>" character run
+    assert len(ids) < len("hello<|eot_id|>world")
+    # round trip drops specials (decode skip_special_tokens=True)
+    assert tok.decode(ids) == "helloworld"
