@@ -55,7 +55,7 @@ def is_fused(blocks) -> bool:
     return "wqkv" in blocks
 
 
-def fuse_params_sharded(params, mesh):
+def fuse_params_sharded(params, mesh, seqpar: bool = False):
     """qkv/gate-up fusion of an ALREADY tensor-sharded params tree.
 
     Host-side fusion before sharding is invalid: concatenating global
@@ -66,6 +66,10 @@ def fuse_params_sharded(params, mesh):
     exactly what the shard_map decoder body (local-shape splits) expects.
     Returns a new params tree with wqkv/w13 (and bqkv) leaves sharded on
     the model axis.
+
+    seqpar=True: the sequence-parallel layout replicates attention weights
+    (parallel/shardings.param_pspec_tree_seqpar), so wqkv/bqkv fuse with
+    replicated specs; w13 stays per-shard column fusion.
     """
     import jax
     from jax.sharding import PartitionSpec as P
@@ -74,6 +78,8 @@ def fuse_params_sharded(params, mesh):
 
     col = P(None, None, MODEL_AXIS)
     vec = P(None, MODEL_AXIS)
+    qkv_spec = P(None, None, None) if seqpar else col
+    bias_spec = P(None, None) if seqpar else vec
 
     def cat(n_in, spec):
         fuse = lambda *ws: _concat_out(list(ws))
@@ -83,12 +89,13 @@ def fuse_params_sharded(params, mesh):
         ))
 
     blocks = dict(params["blocks"])
-    blocks["wqkv"] = cat(3, col)(blocks.pop("wq"), blocks.pop("wk"),
-                                 blocks.pop("wv"))
+    blocks["wqkv"] = cat(3, qkv_spec)(blocks.pop("wq"), blocks.pop("wk"),
+                                      blocks.pop("wv"))
     blocks["w13"] = cat(2, col)(blocks.pop("w1"), blocks.pop("w3"))
     if "bq" in blocks:
-        blocks["bqkv"] = cat(3, vec)(blocks.pop("bq"), blocks.pop("bk"),
-                                     blocks.pop("bv"))
+        blocks["bqkv"] = cat(3, bias_spec)(blocks.pop("bq"),
+                                           blocks.pop("bk"),
+                                           blocks.pop("bv"))
     out = dict(params)
     out["blocks"] = blocks
     return out

@@ -71,13 +71,20 @@ def init_paged_cache(cfg: ModelConfig, n_pages: int, page_size: int = 128,
 class PageAllocator:
     """Host-side free-list page allocator + page tables (the scheduler's
     bookkeeping; nothing here touches the device). Page 0 is reserved as
-    the garbage sink (see module docstring) and is never allocated."""
+    the garbage sink (see module docstring) and is never allocated.
+
+    `reserved` extends the reserved set (page 0 is always included): under
+    sequence-parallel page-dim sharding (parallel/seqpar.py) every shard
+    needs its own local garbage sink, so pages {s * P/sp} — local index 0
+    of each shard — are reserved too."""
 
     def __init__(self, n_pages: int, page_size: int, max_seqs: int,
-                 max_len: int):
+                 max_len: int, reserved=()):
         self.page_size = page_size
         self.max_pages_per_seq = -(-max_len // page_size)
-        self.free: List[int] = list(range(1, n_pages))
+        self.reserved = {0} | set(reserved)
+        self.free: List[int] = [p for p in range(1, n_pages)
+                                if p not in self.reserved]
         self.page_table = np.zeros((max_seqs, self.max_pages_per_seq), np.int32)
         self.seq_lens = np.zeros((max_seqs,), np.int32)
         self.owned: dict[int, List[int]] = {}

@@ -24,14 +24,18 @@ did NOT have to read.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..config import ModelConfig
 from ..ops.pallas.paged_attention import (merge_flash_many,
                                           paged_attention_flat)
 from .mesh import MODEL_AXIS
+from .shardings import param_pspec_tree_seqpar, validate_seqpar
 
 
 def build_work_lists_sharded(page_table, seq_lens, page_size: int,
@@ -133,3 +137,144 @@ class SeqParAttention:
                        jnp.asarray(np.asarray(seq_lens, np.int32)),
                        jnp.asarray(cov))
         return out.astype(q.dtype)
+
+
+class SeqParPagedStep:
+    """Sequence-parallel drop-in for models/paged.py's jitted entry points
+    (the counterpart of sharded_paged.ShardedPagedStep with the pools
+    sharded over PAGES instead of lanes — decode-side context parallelism).
+
+    Layout:
+      * pools [L, P, ps, KH*hd] block-sharded over the page dim; every
+        shard keeps FULL, 128-aligned lanes — this lifts the
+        (KH/tp)*hd % 128 ceiling that caps lane-sharding at tp=1 for
+        Qwen2.5-0.5B (parallel/shardings.validate_tp), and n_heads need
+        not divide the shard count;
+      * attention weights replicated (each shard computes full q/k/v: it
+        writes complete lanes into its own pages, and contributes full-head
+        flash stats); MLP Megatron-sharded; lm_head vocab-sharded;
+      * per-shard flat work lists (build_work_lists_sharded): each shard's
+        kernel reads ONLY its own pages — the page-read traffic that
+        dominates long-context decode drops by ~1/sp per shard;
+      * stats merge: one all_gather of (acc, m, l) = B*H*(hd+2) fp32 per
+        layer, exact (merge_flash_many).
+
+    The allocator must reserve global pages {s * P_local} (each shard's
+    local page 0) as per-shard garbage sinks — PagedEngine(seqpar=True)
+    does this. Chunked prefill is not supported in this mode (the history
+    gather would need a pool all-gather); single-shot prefill is.
+    """
+
+    supports_prefill_chunk = False
+
+    def __init__(self, cfg: ModelConfig, mesh: Mesh, params_example):
+        validate_seqpar(cfg, mesh.shape[MODEL_AXIS])
+        self.cfg = cfg
+        self.mesh = mesh
+        self.sp = mesh.shape[MODEL_AXIS]
+        self._pspecs = param_pspec_tree_seqpar(params_example)
+        self._decode = self._build_decode()
+        self._prefill = self._build_prefill()
+
+    # -- builders
+
+    def _build_decode(self):
+        cfg, mesh, pspecs = self.cfg, self.mesh, self._pspecs
+        rep = P()
+        pspec = P(None, MODEL_AXIS)      # pools [L, P, ps, KH*hd] over pages
+        lspec = P(MODEL_AXIS, None)      # per-shard work lists [sp, M]
+
+        @partial(jax.jit,
+                 static_argnames=("steps", "page_size", "temperature",
+                                  "top_k", "top_p"),
+                 donate_argnames=("k_pages", "v_pages"))
+        def fwd(params, token, pos, k_pages, v_pages, done, rng, stop_ids,
+                page_table_dev, flat_b, flat_page, flat_tok0, n_items,
+                covered, steps, page_size=128, temperature=0.0, top_k=0,
+                top_p=1.0):
+            from ..models.paged import decode_chunk_paged_inner
+
+            def body(params, token, pos, kp, vp, done, rng, stop_ids,
+                     pt, fb, fp, ft, ni, cov):
+                return decode_chunk_paged_inner(
+                    cfg, params, token, pos, kp, vp, done, rng, stop_ids,
+                    pt, fb[0], fp[0], ft[0], ni[0], steps=steps,
+                    page_size=page_size, temperature=temperature,
+                    top_k=top_k, top_p=top_p, tp_axis=MODEL_AXIS,
+                    seqpar=True, covered=cov[0],
+                )
+
+            sm = jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(pspecs, rep, rep, pspec, pspec, rep, rep, rep,
+                          rep, lspec, lspec, lspec, lspec, lspec),
+                out_specs=(rep, rep, rep, pspec, pspec, rep, rep),
+                check_vma=False,
+            )
+            return sm(params, token, pos, k_pages, v_pages, done, rng,
+                      stop_ids, page_table_dev, flat_b, flat_page,
+                      flat_tok0, n_items, covered)
+
+        return fwd
+
+    def _build_prefill(self):
+        cfg, mesh, pspecs = self.cfg, self.mesh, self._pspecs
+        rep = P()
+        pspec = P(None, MODEL_AXIS)
+
+        @partial(jax.jit, donate_argnames=("k_pages", "v_pages"))
+        def fwd(params, tokens, prompt_lens, k_pages, v_pages,
+                token_pages, token_offs):
+            from ..models.paged import prefill_paged_inner
+
+            def body(params, tokens, prompt_lens, kp, vp, tpg, tof):
+                return prefill_paged_inner(
+                    cfg, params, tokens, prompt_lens, kp, vp, tpg, tof,
+                    tp_axis=MODEL_AXIS, seqpar=True,
+                )
+
+            sm = jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(pspecs, rep, rep, pspec, pspec, rep, rep),
+                out_specs=(rep, pspec, pspec),
+                check_vma=False,
+            )
+            return sm(params, tokens, prompt_lens, k_pages, v_pages,
+                      token_pages, token_offs)
+
+        return fwd
+
+    # -- call surfaces matching sharded_paged.ShardedPagedStep
+
+    def decode_chunk(self, cfg, params, token, pos, k_pages, v_pages, done,
+                     rng, stop_ids, page_table_dev, flat_b, flat_page,
+                     flat_tok0, n_items, steps, page_size=128,
+                     temperature=0.0, top_k=0, top_p=1.0, covered=None):
+        assert cfg == self.cfg
+        assert covered is not None, "seqpar decode needs the covered mask"
+        return self._decode(params, token, pos, k_pages, v_pages, done, rng,
+                            stop_ids, page_table_dev, flat_b, flat_page,
+                            flat_tok0, n_items, covered, steps=steps,
+                            page_size=page_size, temperature=temperature,
+                            top_k=top_k, top_p=top_p)
+
+    def prefill(self, cfg, params, tokens, prompt_lens, k_pages, v_pages,
+                token_pages, token_offs):
+        assert cfg == self.cfg
+        return self._prefill(params, tokens, prompt_lens, k_pages, v_pages,
+                             token_pages, token_offs)
+
+    # -- host-side helpers
+
+    def build_lists(self, page_table, seq_lens, page_size: int,
+                    n_pages: int):
+        """Per-shard work lists + coverage for a decode chunk (LOCAL page
+        ids; see build_work_lists_sharded)."""
+        return build_work_lists_sharded(page_table, seq_lens, page_size,
+                                        self.sp, n_pages)
+
+    # -- placement
+
+    def shard_pages(self, k_pages, v_pages):
+        sh = NamedSharding(self.mesh, P(None, MODEL_AXIS))
+        return jax.device_put(k_pages, sh), jax.device_put(v_pages, sh)

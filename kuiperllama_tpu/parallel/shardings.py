@@ -41,9 +41,33 @@ _RULES = [
 ]
 
 
-def _spec_for(path, leaf) -> P:
+# Sequence-parallel (page-dim sharded KV pool) weight layout: every shard
+# computes the FULL q/k/v for a token (it must write complete lanes into
+# the pages it owns, and the flash merge needs all heads' stats), so the
+# ATTENTION weights replicate while the MLP stays Megatron-sharded. The
+# redundant attention compute is the price for sharding the KV PAGE READS
+# — the long-context decode bottleneck — by 1/sp, and for lifting the
+# (KH/tp)*hd 128-lane ceiling: hd=64 families (Qwen2.5-0.5B: tp=1 under
+# lane sharding) shard over pages with FULL 128-aligned lanes, and n_heads
+# need not divide the shard count at all.
+_RULES_SEQPAR = [
+    ("tok_emb", P(None, None)),
+    ("final_norm", P(None)),
+    ("lm_head", P(None, MODEL_AXIS)),
+    ("attn_norm", P(None, None)),
+    ("ffn_norm", P(None, None)),
+    ("wqkv", P(None, None, None)), ("bqkv", P(None, None)),
+    ("w13", _COL),
+    ("wq", P(None, None, None)), ("wk", P(None, None, None)),
+    ("wv", P(None, None, None)), ("wo", P(None, None, None)),
+    ("w1", _COL), ("w3", _COL), ("w2", _ROW),
+    ("bq", P(None, None)), ("bk", P(None, None)), ("bv", P(None, None)),
+]
+
+
+def _spec_for(path, leaf, rules=_RULES) -> P:
     pathstr = jax.tree_util.keystr(path)
-    for name, spec in _RULES:
+    for name, spec in rules:
         if name in pathstr:
             return spec
     raise ValueError(f"no sharding rule for param at {pathstr}")
@@ -54,6 +78,13 @@ def param_pspec_tree(params):
     PartitionSpecs (quant q/s leaves share their weight's spec — identical
     rank, groups along `in`). Suitable for shard_map in_specs and device_put."""
     return jax.tree_util.tree_map_with_path(_spec_for, params)
+
+
+def param_pspec_tree_seqpar(params):
+    """PartitionSpec tree for the sequence-parallel mode: attention weights
+    replicated, MLP Megatron-sharded, lm_head vocab-sharded."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: _spec_for(p, x, _RULES_SEQPAR), params)
 
 
 def cache_pspec() -> P:
@@ -96,18 +127,34 @@ def validate_tp(cfg: ModelConfig, tp: int):
                       "the Pallas interpreter", stacklevel=2)
 
 
-def shard_params(params, mesh, cfg: ModelConfig):
+def validate_seqpar(cfg: ModelConfig, sp: int):
+    """Setup-time checks for sequence-parallel page sharding. The pool
+    keeps FULL lanes per shard, so the only lane rule is the UNSHARDED one
+    (KH*hd % 128 — true for every supported family); n_heads need not
+    divide sp (attention is replicated), only the MLP/vocab dims must."""
+    assert cfg.hidden_dim % sp == 0, (cfg.hidden_dim, sp)
+    assert cfg.vocab_size % sp == 0, (cfg.vocab_size, sp)
+
+
+def shard_params(params, mesh, cfg: ModelConfig, seqpar: bool = False):
     """device_put a params pytree (numpy or device arrays) with TP shardings.
 
     Takes UNFUSED params: a host-fused wqkv concatenates GLOBAL q|k|v
     columns, and column-sharding that hands each shard a mix of q/k/v
     columns from the wrong shards. To combine fusion with TP, shard first
-    and then fuse per shard with fuse.fuse_params_sharded."""
+    and then fuse per shard with fuse.fuse_params_sharded.
+
+    seqpar=True uses the sequence-parallel layout (attention replicated,
+    MLP sharded — see param_pspec_tree_seqpar)."""
     assert "wqkv" not in params["blocks"], (
         "shard unfused params, then fuse.fuse_params_sharded(sharded, mesh)"
     )
-    validate_tp(cfg, mesh.shape[MODEL_AXIS])
-    specs = param_pspec_tree(params)
+    if seqpar:
+        validate_seqpar(cfg, mesh.shape[MODEL_AXIS])
+        specs = param_pspec_tree_seqpar(params)
+    else:
+        validate_tp(cfg, mesh.shape[MODEL_AXIS])
+        specs = param_pspec_tree(params)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )

@@ -362,7 +362,8 @@ class PagedEngine(Engine):
     def __init__(self, cfg: ModelConfig, params, tokenizer=None,
                  n_pages: Optional[int] = None, page_size: int = 128,
                  mesh=None, prefill_chunk: int = 0, admit_chunk: int = 32,
-                 fuse: bool = True, reserve_growth: bool = True, **kw):
+                 fuse: bool = True, reserve_growth: bool = True,
+                 seqpar: bool = False, **kw):
         from ..kvcache import PageAllocator, init_paged_cache
 
         self.page_size = page_size
@@ -374,29 +375,48 @@ class PagedEngine(Engine):
         self._wave: Optional[dict] = None
         max_batch = kw.get("max_batch", 8)
         max_len = kw.get("max_len") or cfg.seq_len
+        self.seqpar = seqpar
+        sp = mesh.shape["model"] if (mesh is not None and seqpar) else 1
         if n_pages is None:
             n_pages = max_batch * (-(-max_len // page_size)) + 1
+        if sp > 1:
+            # page-dim sharding needs (a) sp | n_pages and (b) one garbage
+            # page per shard (local page 0 = global s*P_local, reserved)
+            n_pages = -(-(n_pages + sp - 1) // sp) * sp
         self._n_pages = n_pages
         self._alloc_cls = PageAllocator
         self._init_paged = init_paged_cache
         self.mesh = mesh
         self._sharded = None
+        reserved = ()
         if mesh is not None:
             from ..fuse import fuse_params_sharded
-            from ..parallel.sharded_paged import ShardedPagedStep
             from ..parallel.shardings import shard_params
 
-            params = shard_params(params, mesh, cfg)
+            params = shard_params(params, mesh, cfg, seqpar=seqpar)
             if fuse and "wqkv" not in params["blocks"]:
                 # per-shard qkv/gate-up fusion (host-fused params cannot be
                 # column-sharded — see shardings.shard_params): fewer, wider
                 # weight streams per layer, incl. the bqkv bias path
-                params = fuse_params_sharded(params, mesh)
-            self._sharded = ShardedPagedStep(cfg, mesh, params)
+                params = fuse_params_sharded(params, mesh, seqpar=seqpar)
+            if seqpar:
+                from ..parallel.seqpar import SeqParPagedStep
+
+                assert prefill_chunk == 0, (
+                    "chunked prefill is not supported in seqpar mode "
+                    "(the history gather would need a pool all-gather)")
+                self._sharded = SeqParPagedStep(cfg, mesh, params)
+                p_local = n_pages // sp
+                reserved = tuple(s * p_local for s in range(sp))
+            else:
+                from ..parallel.sharded_paged import ShardedPagedStep
+
+                self._sharded = ShardedPagedStep(cfg, mesh, params)
         super().__init__(cfg, params, tokenizer, **kw)
         self.allocator = PageAllocator(
             n_pages=n_pages, page_size=page_size,
             max_seqs=self.max_batch, max_len=self.max_len,
+            reserved=reserved,
         )
 
     # ---- chunked admission (prefill/decode overlap)
@@ -642,7 +662,14 @@ class PagedEngine(Engine):
             mask[list(self.active)] = True
             pt = np.where(mask[:, None], pt, 0)
             sl = np.where(mask, sl, 0)
-        fb, fp, ft, n_items = build_work_list(pt, sl, self.page_size)
+        extra = {}
+        if self.seqpar and self._sharded is not None:
+            # per-shard work lists over LOCAL page ids + coverage masks
+            fb, fp, ft, n_items, cov = self._sharded.build_lists(
+                pt, sl, self.page_size, self._n_pages)
+            extra["covered"] = jnp.asarray(cov)
+        else:
+            fb, fp, ft, n_items = build_work_list(pt, sl, self.page_size)
         decode_fn = (self._sharded.decode_chunk if self._sharded is not None
                      else decode_chunk_paged)
         (toks, self.token, self.pos, self.k_pages, self.v_pages,
@@ -654,6 +681,7 @@ class PagedEngine(Engine):
             jnp.asarray(n_items),
             steps=steps, page_size=self.page_size,
             temperature=self.temperature, top_k=self.top_k, top_p=self.top_p,
+            **extra,
         )
         return toks
 
