@@ -304,6 +304,45 @@ def _selftest():
         out[f"paged_attention_{tag}_abs_err"] = float(
             np.abs(got - want).max())
 
+    # decode megakernel (ops/pallas/fused_decode.py) vs the layered oracle,
+    # compiled, at a small hd=64 GQA geometry (the CI suite only exercises
+    # the interpreter)
+    from kuiperllama_tpu.config import tiny_config
+    from kuiperllama_tpu.fuse import fuse_params
+    from kuiperllama_tpu.models import decoder
+    from kuiperllama_tpu.ops.linear import linear
+    from kuiperllama_tpu.ops.pallas.fused_decode import fused_decode_step
+    from kuiperllama_tpu.params import random_params, to_device
+    from kuiperllama_tpu.quant import quantize_q80
+
+    cfg = tiny_config("llama2", dim=512, n_heads=8, n_kv_heads=4,
+                      hidden_dim=1024, vocab_size=2048, seq_len=128)
+    params = to_device(random_params(cfg, seed=9), dtype=jnp.bfloat16)
+    qb = dict(params["blocks"])
+    for nm in ("wq", "wk", "wv", "wo", "w1", "w2", "w3"):
+        qb[nm] = quantize_q80(params["blocks"][nm], group_size=64)
+    params = fuse_params(dict(params, blocks=qb))
+    A = 128
+    cache = decoder.init_kv_cache(cfg, batch=1, max_len=A, dtype=jnp.bfloat16)
+    toks = jnp.asarray([[3, 1, 4, 1, 5]], jnp.int32)
+    last, cache = decoder.prefill(cfg, params, toks, cache)
+    token = jnp.argmax(last, -1).astype(jnp.int32)
+    pos = jnp.asarray([5], jnp.int32)
+    want, _ = decoder.decode_step(cfg, params, token, pos,
+                                  jax.tree.map(jnp.copy, cache))
+    L, _, _, KH, hd = cache["k"].shape
+    sin, cos = decoder.build_rope(cfg)
+    x_fin, _, _ = fused_decode_step(
+        cfg, params, params["tok_emb"][token],
+        cache["k"].reshape(L, A, KH * hd), cache["v"].reshape(L, A, KH * hd),
+        pos[0], sin, cos)
+    got = np.asarray(linear(x_fin, params["lm_head"]).astype(jnp.float32))
+    wantn = np.asarray(want)
+    out["fused_step_rel_err"] = float(
+        np.abs(got - wantn).max() / max(np.abs(wantn).max(), 1e-6))
+    out["fused_step_argmax_match"] = bool(
+        int(np.argmax(got)) == int(np.argmax(wantn)))
+
     out["value"] = max(out["quant_matmul_exact_rel_err"],
                        out["paged_attention_mha_abs_err"])
     out["vs_baseline"] = 0.0

@@ -36,6 +36,19 @@ from ..ops.rmsnorm import rmsnorm
 from ..ops.rope import apply_rope, gather_rope, rope_cache
 
 
+def _layer_unroll() -> int:
+    """Unroll factor for the layer scan (KT_UNROLL, process-start-only
+    sweep knob like quant_matmul's KT_*): unrolling lets XLA's scheduler
+    overlap consecutive layers' op boundaries at the cost of HLO size /
+    compile time. The r4 A/B measured +3.6% at TinyLlama B=1 on this
+    layered path (402 -> 416 tok/s at KT_UNROLL=4); small models have
+    since moved to the fused_decode megakernel, and the unroll is untested
+    at 7B (32 layers of HLO growth), so the default stays 1."""
+    import os
+
+    return int(os.environ.get("KT_UNROLL", "1"))
+
+
 def init_kv_cache(cfg: ModelConfig, batch: int, max_len: Optional[int] = None,
                   dtype=jnp.float32, n_kv_heads: Optional[int] = None):
     """Dense KV cache [L, B, S, KH, hd] (reference: one [L, S, kv_dim] fp32
@@ -153,6 +166,7 @@ def forward_inner(cfg: ModelConfig, params, tokens, positions, kv_cache,
     layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
     (x, new_k, new_v), _ = lax.scan(
         layer_body, (x, kv_cache["k"], kv_cache["v"]), layer_ids,
+        unroll=_layer_unroll(),
     )
     if last_pos is not None:
         x = jnp.take_along_axis(

@@ -182,9 +182,15 @@ def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, group_size, n_k, mode,
 # scales to P ([ng, TN] elements, 1/64th the VPU work) and column-reduce.
 # Bonus: the scale multiply now happens in fp32 on fp32 partials, so this
 # path is MORE accurate than the generic fast mode. Restricted to
-# whole-reduction tiles (n_k == 1) and ng <= _DIAG_MAX_GROUPS (beyond ~64
-# rows the MXU turns feed-bound and the trick inverts).
-_DIAG_MAX_GROUPS = 64
+# whole-reduction tiles (n_k == 1) and ng <= _DIAG_MAX_GROUPS.
+# KT_DIAG_MAX is a process-start-only sweep knob (like KT_BLOCK_*). The r4
+# end-to-end A/B at TinyLlama (cap 64 vs 176, i.e. w2's 88 groups on the
+# generic vs diag path) was noise-level (402.0 vs 405.2 tok/s); per-shape
+# marginal timings through the tunnel were too jittery to resolve µs-scale
+# kernels (tools/exp_diag.py). Default stays 64 — the r3-validated
+# configuration for the 7B headline — until a cleaner measurement says
+# otherwise; small models now take the fused_decode megakernel anyway.
+_DIAG_MAX_GROUPS = int(_os.environ.get("KT_DIAG_MAX", "64"))
 
 
 def _kernel_diag(a_ref, q_ref, s_ref, o_ref):

@@ -50,13 +50,13 @@ def _bucket_len(n: int, quantum: int = 256) -> int:
 @partial(
     jax.jit,
     static_argnames=("cfg", "steps", "temperature", "top_k", "top_p",
-                     "forward_fn", "active_len"),
+                     "forward_fn", "active_len", "fused"),
     donate_argnames=("kv_cache",),
 )
 def decode_chunk(cfg: ModelConfig, params, token, pos, kv_cache, done, rng,
                  stop_ids, steps: int, temperature: float = 0.0,
                  top_k: int = 0, top_p: float = 1.0, forward_fn=None,
-                 active_len: int = 0):
+                 active_len: int = 0, fused: bool = False):
     """Run `steps` decode iterations on device.
 
     token: [B] int32 current token; pos: [B] int32 its position.
@@ -83,8 +83,28 @@ def decode_chunk(cfg: ModelConfig, params, token, pos, kv_cache, done, rng,
 
     def step(carry, _):
         token, pos, cache, done, rng = carry
-        logits, new_cache = decoder.decode_step(cfg, params, token, pos, cache,
-                                                forward_fn=forward_fn)
+        if fused:
+            # decode megakernel (ops/pallas/fused_decode.py): the whole
+            # layer stack in ONE pallas_call — per-step launch count goes
+            # from ~10/layer to 3 (megakernel, lm_head, sampling glue)
+            from ..models.decoder import build_rope
+            from ..ops.linear import linear
+            from ..ops.pallas.fused_decode import fused_decode_step
+
+            L, B1, A, KH, hd = cache["k"].shape
+            assert B1 == 1, "fused decode step is a B=1 latency path"
+            x0 = params["tok_emb"][token]  # [1, d]
+            kc = cache["k"].reshape(L, A, KH * hd)
+            vc = cache["v"].reshape(L, A, KH * hd)
+            sin, cos = build_rope(cfg)
+            x_fin, kc, vc = fused_decode_step(
+                cfg, params, x0, kc, vc, pos[0], sin, cos)
+            logits = linear(x_fin, params["lm_head"]).astype(jnp.float32)
+            new_cache = dict(k=kc.reshape(L, 1, A, KH, hd),
+                             v=vc.reshape(L, 1, A, KH, hd))
+        else:
+            logits, new_cache = decoder.decode_step(
+                cfg, params, token, pos, cache, forward_fn=forward_fn)
         rng, sub = jax.random.split(rng)
         nxt = sample_token(logits, sub, temperature, top_k, top_p)
         nxt = jnp.where(done, token, nxt)
@@ -129,7 +149,8 @@ class Generator:
 
     def __init__(self, cfg: ModelConfig, params, tokenizer=None,
                  cache_len: Optional[int] = None, cache_dtype=jnp.float32,
-                 chunk: int = 64, forward_fn=None):
+                 chunk: int = 64, forward_fn=None,
+                 fused_step: Optional[bool] = None):
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -137,6 +158,36 @@ class Generator:
         self.cache_dtype = cache_dtype
         self.chunk = chunk
         self.forward_fn = forward_fn  # e.g. parallel.sharded.ShardedForward
+        # decode megakernel (B=1 latency path): None = auto (TPU + Pallas +
+        # fused weights + fits VMEM); True forces (tests use the
+        # interpreter); False disables. KT_FUSED_STEP=0/1 overrides auto.
+        self.fused_step = fused_step
+
+    def _fused_ok(self, B: int) -> bool:
+        if B != 1 or self.forward_fn is not None:
+            return False
+        if self.fused_step is False:
+            return False
+        from ..ops.pallas.fused_decode import fits_vmem
+
+        structural = ("blocks" in self.params
+                      and "wqkv" in self.params["blocks"]
+                      and fits_vmem(self.params["blocks"], self.cache_dtype,
+                                    self.cache_len))
+        if self.fused_step is True:
+            return structural
+        import os
+
+        env = os.environ.get("KT_FUSED_STEP")
+        if env is not None:
+            return structural and env == "1"
+        import sys
+
+        # NOTE: `from ..ops import linear` resolves to the FUNCTION the
+        # ops package re-exports, not the module — go via sys.modules
+        linear_mod = sys.modules["kuiperllama_tpu.ops.linear"]
+        return (structural and linear_mod._USE_PALLAS
+                and jax.default_backend() == "tpu")
 
     def generate_batch_ids(
         self,
@@ -193,13 +244,14 @@ class Generator:
         out = [[int(first[i])] for i in range(B)]
         emitted = 1
         max_pos = max(lens)
+        fused = self._fused_ok(B)
         while budget > 0 and not bool(np.asarray(done).all()):
             steps = min(self.chunk, budget)
             active = min(_bucket_len(max_pos + steps + 1), self.cache_len)
             toks, token, pos, cache, done, rng = decode_chunk(
                 cfg, self.params, token, pos, cache, done, rng, stop_arr,
                 steps=steps, temperature=temperature, top_k=top_k, top_p=top_p,
-                forward_fn=self.forward_fn, active_len=active,
+                forward_fn=self.forward_fn, active_len=active, fused=fused,
             )
             max_pos += steps
             toks_np = np.asarray(toks)

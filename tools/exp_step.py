@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--cache-len", type=int, default=1024)
+    ap.add_argument("--fp", action="store_true",
+                    help="bf16 dense weights (no quant) — the qwen/fp "
+                         "bench configuration")
     args = ap.parse_args()
 
     from kuiperllama_tpu import fuse
@@ -61,8 +64,9 @@ def main():
 
     cfg = preset_config(args.model, seq_len=max(args.cache_len, 256))
     params = fuse.fuse_params(
-        random_params_device(cfg, quantize=True, dtype=jnp.bfloat16))
-    params = cast_scales(params, jnp.bfloat16)
+        random_params_device(cfg, quantize=not args.fp, dtype=jnp.bfloat16))
+    if not args.fp:
+        params = cast_scales(params, jnp.bfloat16)
     jax.block_until_ready(jax.tree.leaves(params)[0])
 
     results = {}
