@@ -62,7 +62,7 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--only", default=None,
                     help="comma-separated tags to (re)run")
-    ap.add_argument("--timeout", type=int, default=580)
+    ap.add_argument("--timeout", type=int, default=900)
     args = ap.parse_args()
     out_path = args.out or os.path.join(ROOT, "BENCH_MATRIX.json")
 

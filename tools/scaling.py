@@ -85,25 +85,48 @@ def measure_tp(cfg, params_np, tp: int, steps: int = 8, dp: int = 1):
 
 
 def analytic(cfg, tp: int, B: int = 2, weight_bytes: int = 0, **_):
-    """Exact per-decode-step collective bill + v5e projection."""
+    """Exact per-decode-step collective bill + v5e projection.
+
+    The headline projected_scaling_eff assumes NO compute/collective
+    overlap (conservative: every psum fully serializes against the weight
+    stream). Stress bounds bracket it:
+      eff_stress_worst — ICI degraded to 70% of spec per-link bandwidth,
+        3 us per collective hop, no overlap (congested-fabric model);
+      eff_full_overlap — XLA's latency-hiding scheduler hides collectives
+        behind the next layer's weight DMA entirely (upper bound).
+    The dp (request scale-out) axis needs NO per-step communication in
+    inference — requests are independent — so crossing hosts on DCN adds
+    zero per-token wire time; the 2-host >=85% BASELINE gate is therefore
+    bounded by the tp-within-host efficiency below. These remain ANALYTIC
+    projections pending multi-chip hardware."""
     psum_bytes = 2 * cfg.n_layers * B * cfg.dim * 4       # wo + w2, fp32
     ag_bytes = B * cfg.vocab_size * 4                     # logits all-gather
     n_coll = 2 * cfg.n_layers + 1
-    if tp == 1:
-        coll_s = 0.0
-    else:
+
+    def _coll_s(gbps, hop_us):
         # ring all-reduce moves 2*(tp-1)/tp of the payload per chip;
         # all-gather moves (tp-1)/tp
         wire = psum_bytes * 2 * (tp - 1) / tp + ag_bytes * (tp - 1) / tp
-        coll_s = wire / (ICI_GBPS * 1e9) + n_coll * ICI_HOP_US * 1e-6
+        return wire / (gbps * 1e9) + n_coll * hop_us * 1e-6
+
     stream_s = (weight_bytes / tp) / (HBM_GBPS * 1e9)
+    if tp == 1:
+        coll_s = worst_s = 0.0
+    else:
+        coll_s = _coll_s(ICI_GBPS, ICI_HOP_US)
+        worst_s = _coll_s(ICI_GBPS * 0.7, 3.0)
     eff = stream_s / (stream_s + coll_s) if tp > 1 else 1.0
+    eff_worst = stream_s / (stream_s + worst_s) if tp > 1 else 1.0
+    eff_overlap = (stream_s / max(stream_s, coll_s)) if tp > 1 else 1.0
     return dict(
         collectives_per_step=n_coll if tp > 1 else 0,
         psum_bytes=psum_bytes, all_gather_bytes=ag_bytes,
         weight_bytes_per_chip=weight_bytes // tp,
         projected_step_ms_v5e=round((stream_s + coll_s) * 1e3, 3),
         projected_scaling_eff=round(eff, 3),
+        eff_stress_worst=round(eff_worst, 3),
+        eff_full_overlap=round(eff_overlap, 3),
+        dp_dcn_bytes_per_step=0,  # inference dp: independent requests
     )
 
 
