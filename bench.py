@@ -198,7 +198,8 @@ def main():
             st = _selftest()
             for k in ("quant_matmul_fast_rel_err", "quant_matmul_exact_rel_err",
                       "paged_attention_gqa_abs_err",
-                      "paged_attention_mha_abs_err"):
+                      "paged_attention_mha_abs_err",
+                      "fused_step_rel_err", "fused_step_argmax_match"):
                 out[k] = st[k]
         except Exception as e:  # never sink the bench line on a selftest bug
             out["selftest_error"] = repr(e)
