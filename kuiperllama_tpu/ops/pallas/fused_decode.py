@@ -124,9 +124,10 @@ def _gemv(h_bf, w_ref, s_ref, g: int, lead=(0,)):
     serializes ~25 us of VPU behind the MXU; chunking lets Mosaic overlap
     chunk i+1's cast with chunk i's MXU pass (the same rule
     quant_matmul.py's fast mode learned in r3)."""
+    full = (slice(None), slice(None))
     if s_ref is None:
         return jax.lax.dot_general(
-            h_bf, w_ref[lead], (((1,), (0,)), ((), ())),
+            h_bf, w_ref[(*lead, *full)], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     nl = len(lead)
     K = w_ref.shape[nl]
@@ -142,7 +143,8 @@ def _gemv(h_bf, w_ref, s_ref, g: int, lead=(0,)):
             A[:, i * sub:(i + 1) * sub], wc, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # [ngp, N]
         P = part if P is None else P + part
-    y = jnp.sum(P * s_ref[lead].astype(jnp.float32), axis=0, keepdims=True)
+    y = jnp.sum(P * s_ref[(*lead, *full)].astype(jnp.float32), axis=0,
+                keepdims=True)
     return y  # [1, N] fp32
 
 
@@ -507,3 +509,436 @@ def fused_decode_step(cfg, params, x0, k_cache, v_cache, pos, sin, cos):
     return _fused_step(x0, k_cache, v_cache, pos, sin_row, cos_row, params,
                        H=H, KH=KH, hd=hd, g=g, eps=cfg.norm_eps,
                        quant=quant, rope_style=cfg.rope_style, n_tiles=nt)
+
+
+# ---------------------------------------------------------------------------
+# Multi-step greedy chunk kernel: `steps` decode iterations in ONE
+# pallas_call. Extends the single-step megakernel with an in-kernel
+# lm_head (vocab-tiled), running argmax (greedy sampling), and an async
+# DMA of the next token's embedding row — so there are ZERO per-step
+# launch boundaries; the only XLA work per chunk is one DUS installing
+# the chunk's K/V rows. Grid: (steps, L*NT + n_vocab_tiles).
+#
+# Intra-chunk attention: the blocked k/v slabs hold only PRE-chunk history
+# (slots < pos0); the chunk's own K/V rows accumulate in the k_new/v_new
+# output blocks (whole-array blocks, constant index -> resident for the
+# entire kernel, flushed once at the end) and are read back for the
+# recent-token scores; the current token merges analytically as before.
+
+
+def _pick_vt(Vpad: int, d: int, itemsize: int,
+             budget: int = 17 * 1024 * 1024) -> int:
+    """Vocab tile: largest 128-multiple divisor of Vpad whose weight tile
+    (d x VT) fits the budget."""
+    best = 128
+    for c in range(128, Vpad + 1, 128):
+        if Vpad % c == 0 and c * d * itemsize <= budget:
+            best = c
+    return best
+
+
+def _chunk_kernel(pos_ref,
+                  x0_ref, R_ref, attn_norm_ref, ffn_norm_ref, final_norm_ref,
+                  wqkv_ref, wqkv_s_ref, wo_ref, wo_s_ref,
+                  w13g_ref, w13g_s_ref, w13u_ref, w13u_s_ref,
+                  w2_ref, w2_s_ref, bqkv_ref,
+                  k_in_ref, v_in_ref, lm_ref, lm_s_ref, emb_ref,
+                  tokens_ref, k_new_ref, v_new_ref,
+                  x_acc, h2_buf, ffn_acc, emb_buf, best_v, tok_s, emb_sem,
+                  *, H, KH, hd, g, eps, n_layers, n_tiles, quant, has_bias,
+                  steps, n_vt, vocab, lm_quant):
+    s = pl.program_id(0)
+    i = pl.program_id(1)
+    NT = n_tiles
+    PH = n_layers * NT
+    pos0 = pos_ref[0]
+    pos = pos0 + s
+    d = H * hd
+    KV = KH * hd
+    kv_mul = H // KH
+    A = k_in_ref.shape[1]
+
+    sq = wqkv_s_ref if quant else None
+    so = wo_s_ref if quant else None
+    s13g = w13g_s_ref if quant else None
+    s13u = w13u_s_ref if quant else None
+    s2 = w2_s_ref if quant else None
+    slm = lm_s_ref if lm_quant else None
+
+    # ---- step bring-up: x = embedding of this step's input token ----
+    @pl.when(i == 0)
+    def _():
+        @pl.when(s == 0)
+        def _():
+            x_acc[:] = x0_ref[:].astype(jnp.float32)
+            # not-yet-written K/V rows are READ (masked to zero weight)
+            # before being written — an uninitialized buffer poisons the
+            # attention with NaN (0 * NaN = NaN)
+            k_new_ref[:] = jnp.zeros(k_new_ref.shape, k_new_ref.dtype)
+            v_new_ref[:] = jnp.zeros(v_new_ref.shape, v_new_ref.dtype)
+
+        @pl.when(s > 0)
+        def _():
+            pltpu.make_async_copy(emb_ref.at[tok_s[0] // 2], emb_buf,
+                                  emb_sem).wait()
+            # fold-select row (tok % 2) of the [2, d] pair without a
+            # 1-sublane slice
+            r = jax.lax.rem(tok_s[0], 2)
+            selr = (jnp.arange(2, dtype=jnp.int32)[None, :] == r
+                    ).astype(jnp.float32)  # [1, 2]
+            row = jax.lax.dot_general(
+                selr, emb_buf[:].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            x_acc[:] = row
+
+    l = i // NT
+    t = jax.lax.rem(i, NT)
+
+    # ---- layer phase ----
+    @pl.when(i < PH)
+    def _():
+        @pl.when(t == 0)
+        def _():
+            x = x_acc[:]
+            h1 = _rmsnorm(x, attn_norm_ref[0], eps)
+            y = _gemv(h1, wqkv_ref, sq, g)
+            if has_bias:
+                y = y + bqkv_ref[0].astype(jnp.float32)
+            y = y.astype(jnp.bfloat16)
+            q = _flat_to_heads(y[:, : H * hd], H, hd)
+            k = _flat_to_heads(y[:, H * hd : (H + KH) * hd], KH, hd)
+            v = _flat_to_heads(y[:, (H + KH) * hd :], KH, hd)
+            R = R_ref[0]
+            q = jax.lax.dot_general(q, R, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
+            k = jax.lax.dot_general(k, R, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
+            q = q.astype(jnp.bfloat16)
+            k = k.astype(jnp.bfloat16)
+            k_flat = _heads_to_flat(k.astype(jnp.float32), KH, hd,
+                                    jnp.bfloat16)
+            v_flat = _heads_to_flat(v, KH, hd, jnp.bfloat16)
+            # rows live on dim 0 as (l*steps + s) — Mosaic cannot prove
+            # 8-alignment for a dynamic SUBLANE store, but dim-0 dynamic
+            # indexing of a (N, 1, KV) ref is unrestricted
+            k_new_ref[pl.ds(l * steps + s, 1), :, :] = (
+                k_flat[None].astype(k_new_ref.dtype))
+            v_new_ref[pl.ds(l * steps + s, 1), :, :] = (
+                v_flat[None].astype(v_new_ref.dtype))
+
+            own = (_iota2((H, KV), 1) // hd
+                   == _iota2((H, KV), 0) // kv_mul)
+            own_f = own.astype(jnp.float32)
+            q_exp = jnp.where(own, jnp.concatenate([q] * KH, axis=1),
+                              jnp.zeros((), jnp.bfloat16))
+            kslab = k_in_ref[0]
+            vslab = v_in_ref[0]
+            prec = (jax.lax.Precision.HIGHEST
+                    if kslab.dtype == jnp.float32 else None)
+            scale = jax.lax.rsqrt(jnp.float32(hd))
+            sc = jax.lax.dot_general(
+                q_exp.astype(kslab.dtype), kslab, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ) * scale  # [H, A] — pre-chunk history
+            sc = jnp.where(_iota2((H, A), 1) < pos0, sc, NEG_INF)
+            # this chunk's earlier tokens (rows r < s of k_new)
+            krec = k_new_ref[pl.ds(l * steps, steps), 0, :
+                             ].astype(jnp.bfloat16)  # [steps, KV]
+            vrec = v_new_ref[pl.ds(l * steps, steps), 0, :
+                             ].astype(jnp.bfloat16)
+            rec = jax.lax.dot_general(
+                q_exp.astype(krec.dtype), krec, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ) * scale  # [H, steps]
+            rec = jnp.where(_iota2((H, steps), 1) < s, rec, NEG_INF)
+            s_new = jnp.sum(
+                (q_exp.astype(jnp.float32)
+                 * (own_f * _rows(k_flat.astype(jnp.float32), H))),
+                axis=-1, keepdims=True) * scale
+            m = jnp.maximum(
+                jnp.maximum(jnp.max(sc, axis=-1, keepdims=True),
+                            jnp.max(rec, axis=-1, keepdims=True)), s_new)
+            p = jnp.exp(sc - m)
+            prc = jnp.exp(rec - m)
+            p_new = jnp.exp(s_new - m)
+            denom = (jnp.sum(p, axis=-1, keepdims=True)
+                     + jnp.sum(prc, axis=-1, keepdims=True) + p_new)
+            pv = jax.lax.dot_general(
+                p.astype(vslab.dtype), vslab, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            pv = pv + jax.lax.dot_general(
+                prc.astype(vrec.dtype), vrec, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            pv = pv + p_new * (own_f * _rows(v_flat.astype(jnp.float32), H))
+            pv = pv / denom
+            sel = (_iota2((KV, hd), 0) % hd == _iota2((KV, hd), 1)
+                   ).astype(jnp.float32)
+            attn = jax.lax.dot_general(
+                jnp.where(own, pv, 0.0), sel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            attn_flat = _heads_to_flat(attn.astype(jnp.bfloat16), H, hd,
+                                       jnp.bfloat16)
+            wo_out = _gemv(attn_flat, wo_ref, so, g)
+            x = (x + wo_out).astype(jnp.bfloat16).astype(jnp.float32)
+            x_acc[:] = x
+            h2_buf[:] = _rmsnorm(x, ffn_norm_ref[0], eps)
+            ffn_acc[:] = jnp.zeros_like(ffn_acc)
+
+        h2 = h2_buf[:]
+        gate = _gemv(h2, w13g_ref, s13g, g).astype(jnp.bfloat16)
+        up = _gemv(h2, w13u_ref, s13u, g).astype(jnp.bfloat16)
+        gf = gate.astype(jnp.float32)
+        act = ((gf * jax.nn.sigmoid(gf)).astype(jnp.bfloat16) * up)
+        part = _gemv(act, w2_ref, s2, g, lead=(0, 0))
+        ffn_acc[:] += part
+
+        @pl.when(t == NT - 1)
+        def _():
+            x = (x_acc[:] + ffn_acc[:]).astype(jnp.bfloat16
+                                               ).astype(jnp.float32)
+            x_acc[:] = x
+
+            @pl.when(l == n_layers - 1)
+            def _():
+                # x_final (pre-lm_head) parked in h2_buf for the vocab phase
+                h2_buf[:] = _rmsnorm(x, final_norm_ref[0], eps)
+
+    # ---- vocab (lm_head + argmax) phase ----
+    @pl.when(i >= PH)
+    def _():
+        j = i - PH
+
+        @pl.when(j == 0)
+        def _():
+            best_v[0] = NEG_INF
+            tok_s[0] = 0
+
+        xf = h2_buf[:]  # [1, d] bf16 final-norm'd
+        VT = lm_ref.shape[-1]
+        y = _gemv(xf, lm_ref, slm, g, lead=())  # [1, VT] fp32
+        lane = _iota2((1, VT), 1)
+        y = jnp.where(j * VT + lane < vocab, y, NEG_INF)
+        tile_max = jnp.max(y)
+        # first-max lane (ties resolve like jnp.argmax)
+        tile_arg = jnp.min(jnp.where(y[0] == tile_max, lane[0], vocab))
+
+        @pl.when(tile_max > best_v[0])
+        def _():
+            best_v[0] = tile_max
+            tok_s[0] = j * VT + tile_arg
+
+        @pl.when(j == n_vt - 1)
+        def _():
+            tok = tok_s[0]
+            tokens_ref[pl.ds(s, 1), :, :] = jnp.full((1, 1, 128), tok,
+                                                     jnp.int32)
+
+            @pl.when(s < steps - 1)
+            def _():
+                pltpu.make_async_copy(emb_ref.at[tok // 2], emb_buf,
+                                      emb_sem).start()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("H", "KH", "hd", "g", "eps", "quant", "rope_style",
+                     "n_tiles", "steps", "lm_quant"),
+)
+def _fused_chunk(x0, k_cache, v_cache, pos, sin, cos, params,
+                 H, KH, hd, g, eps, quant, rope_style, n_tiles, steps,
+                 lm_quant):
+    """`steps` greedy decode iterations in one pallas_call. Returns
+    (tokens [steps] int32, k_new [L, steps, KV], v_new [L, steps, KV]) —
+    the caller DUSes the new rows into the cache at pos."""
+    blocks = params["blocks"]
+    L, A, KV = k_cache.shape
+    d = H * hd
+    NT = n_tiles
+
+    # rope matrices for every step of the chunk
+    ppos = jnp.minimum(pos + jnp.arange(steps), sin.shape[0] - 1)
+    R_all = jax.vmap(lambda sr, cr: rope_matrix(sr, cr, rope_style, hd))(
+        sin[ppos], cos[ppos])  # [steps, hd, hd]
+
+    if quant:
+        wqkv, wo, w13, w2 = (blocks["wqkv"], blocks["wo"], blocks["w13"],
+                             blocks["w2"])
+        hidden = w2.q.shape[-2]
+        ht = hidden // NT
+        ngt = ht // g
+        ngt_p = -(-ngt // 8) * 8
+        w2q4 = w2.q.reshape(L, NT, ht, d)
+        ng2 = hidden // g
+        s2 = w2.s[:, :ng2].reshape(L, NT, ngt, d)
+        if ngt_p != ngt:
+            s2 = jnp.pad(s2, ((0, 0), (0, 0), (0, ngt_p - ngt), (0, 0)))
+        wq_args = (wqkv.q, wqkv.s, wo.q, wo.s, w13.q, w13.s, w2q4, s2)
+    else:
+        w2 = blocks["w2"]
+        hidden = w2.shape[-2]
+        ht = hidden // NT
+        dummy = jnp.zeros((L, 8, 128), jnp.float32)
+        dummy4 = jnp.zeros((L, NT, 8, 128), jnp.float32)
+        wq_args = (blocks["wqkv"], dummy, blocks["wo"], dummy,
+                   blocks["w13"], dummy, w2.reshape(L, NT, ht, d), dummy4)
+
+    lmw = params["lm_head"]
+    if lm_quant:
+        V = lmw.q.shape[-1]
+        VT = _pick_vt(-(-V // 2048) * 2048, d, 1)
+        Vpad = -(-V // VT) * VT
+        lm_args = (jnp.pad(lmw.q, ((0, 0), (0, Vpad - V))),
+                   jnp.pad(lmw.s, ((0, 0), (0, Vpad - V))))
+    else:
+        V = lmw.shape[-1]
+        VT = _pick_vt(-(-V // 2048) * 2048, d, 2)
+        lm_dtype_pad = -(-V // VT) * VT
+        Vpad = lm_dtype_pad
+        lm_args = (jnp.pad(lmw, ((0, 0), (0, Vpad - V))),
+                   jnp.zeros((8, 128), jnp.float32))
+    n_vt = Vpad // VT
+
+    has_bias = "bqkv" in blocks
+    bqkv = blocks["bqkv"] if has_bias else jnp.zeros((L, 128), jnp.bfloat16)
+    # [ceil(V/2), 2, d]: the row gather slices only the UNTILED leading
+    # dim (dim-0), and the middle dim stays size-2 so no 1-sublane bf16
+    # slice exists anywhere; the kernel fold-selects the row by tok % 2
+    emb2 = params["tok_emb"].astype(jnp.bfloat16)
+    if emb2.shape[0] % 2:
+        emb2 = jnp.pad(emb2, ((0, 1), (0, 0)))
+    emb = emb2.reshape(-1, 2, emb2.shape[-1])
+
+    PH = L * NT
+    w13_arr, w13_s_arr = wq_args[4], wq_args[5]
+    s13_cols = w13_s_arr.shape[-1]
+
+    def lidx(ii):
+        return jnp.minimum(ii // NT, L - 1)
+
+    def lspec(arr):
+        nz = arr.ndim - 1
+        return pl.BlockSpec((1,) + arr.shape[1:],
+                            lambda s, ii, p: (lidx(ii),) + (0,) * nz)
+
+    def w13spec(up: bool):
+        off = NT if up else 0
+        return pl.BlockSpec(
+            (1, w13_arr.shape[1], ht),
+            lambda s, ii, p, off=off: (lidx(ii), 0,
+                                       off + jnp.minimum(
+                                           jax.lax.rem(ii, NT), NT - 1)))
+
+    def w13sspec(up: bool):
+        if not quant:
+            return pl.BlockSpec((1, 8, 128), lambda s, ii, p: (lidx(ii), 0, 0))
+        off = NT if up else 0
+        return pl.BlockSpec(
+            (1, w13_s_arr.shape[1], s13_cols // (2 * NT)),
+            lambda s, ii, p, off=off: (lidx(ii), 0,
+                                       off + jax.lax.rem(ii, NT)))
+
+    def lmspec(arr):
+        # pin tile 0 during the layer phase (prefetches it); tile j in the
+        # vocab phase
+        def im(s, ii, p):
+            j = jnp.clip(ii - PH, 0, n_vt - 1)
+            return (0, j) if arr.ndim == 2 else (0, j)
+        return pl.BlockSpec((arr.shape[0], VT), im)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(steps, PH + n_vt),
+        in_specs=[
+            pl.BlockSpec((1, d), lambda s, ii, p: (0, 0)),         # x0
+            pl.BlockSpec((1, hd, hd), lambda s, ii, p: (s, 0, 0)),  # R
+            pl.BlockSpec((1, 1, d), lambda s, ii, p: (lidx(ii), 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda s, ii, p: (lidx(ii), 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda s, ii, p: (0, 0, 0)),
+            lspec(wq_args[0]), lspec(wq_args[1]),
+            lspec(wq_args[2]), lspec(wq_args[3]),
+            w13spec(False), w13sspec(False),
+            w13spec(True), w13sspec(True),
+            pl.BlockSpec((1, 1) + wq_args[6].shape[2:],
+                         lambda s, ii, p: (lidx(ii), jax.lax.rem(ii, NT),
+                                           0, 0)),
+            pl.BlockSpec((1, 1) + wq_args[7].shape[2:],
+                         lambda s, ii, p: (lidx(ii), jax.lax.rem(ii, NT),
+                                           0, 0)),
+            pl.BlockSpec((1, 1, bqkv.shape[-1]),
+                         lambda s, ii, p: (lidx(ii), 0, 0)),
+            pl.BlockSpec((1, A, KV), lambda s, ii, p: (lidx(ii), 0, 0)),
+            pl.BlockSpec((1, A, KV), lambda s, ii, p: (lidx(ii), 0, 0)),
+            lmspec(lm_args[0]), lmspec(lm_args[1]),
+            pl.BlockSpec(memory_space=pl.ANY),                    # tok_emb
+        ],
+        out_specs=[
+            pl.BlockSpec((steps, 1, 128), lambda s, ii, p: (0, 0, 0)),
+            pl.BlockSpec((L * steps, 1, KV), lambda s, ii, p: (0, 0, 0)),
+            pl.BlockSpec((L * steps, 1, KV), lambda s, ii, p: (0, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, d), jnp.float32),    # x_acc
+            pltpu.VMEM((1, d), jnp.bfloat16),   # h2_buf / x_final
+            pltpu.VMEM((1, d), jnp.float32),    # ffn_acc
+            pltpu.VMEM((2, d), jnp.bfloat16),   # emb_buf (row pair)
+            pltpu.SMEM((1,), jnp.float32),      # best_v
+            pltpu.SMEM((1,), jnp.int32),        # tok_s
+            pltpu.SemaphoreType.DMA,            # emb_sem
+        ],
+    )
+    kernel = functools.partial(
+        _chunk_kernel, H=H, KH=KH, hd=hd, g=g, eps=eps, n_layers=L,
+        n_tiles=NT, quant=quant, has_bias=has_bias, steps=steps,
+        n_vt=n_vt, vocab=V, lm_quant=lm_quant)
+    tokens, k_new, v_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((steps, 1, 128), jnp.int32),
+                   # fp32: bf16's 2-sublane packing rejects 1-row slices
+                   jax.ShapeDtypeStruct((L * steps, 1, KV), jnp.float32),
+                   jax.ShapeDtypeStruct((L * steps, 1, KV), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_interpret(),
+    )(jnp.reshape(pos, (1,)).astype(jnp.int32),
+      x0, R_all,
+      params["blocks"]["attn_norm"][:, None].astype(jnp.float32),
+      params["blocks"]["ffn_norm"][:, None].astype(jnp.float32),
+      jnp.reshape(params["final_norm"], (1, 1, d)).astype(jnp.float32),
+      wq_args[0], wq_args[1], wq_args[2], wq_args[3],
+      wq_args[4], wq_args[5], wq_args[4], wq_args[5],
+      wq_args[6], wq_args[7],
+      bqkv[:, None] if bqkv.ndim == 2 else bqkv,
+      k_cache, v_cache, lm_args[0], lm_args[1], emb)
+    toks = tokens[:, 0, 0]
+    k_new = k_new.reshape(L, steps, KV).astype(k_cache.dtype)
+    v_new = v_new.reshape(L, steps, KV).astype(v_cache.dtype)
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache, k_new, (0, pos.astype(jnp.int32), 0))
+    v_cache = jax.lax.dynamic_update_slice(
+        v_cache, v_new, (0, pos.astype(jnp.int32), 0))
+    return toks, k_cache, v_cache
+
+
+def fused_decode_chunk(cfg, params, x0, k_cache, v_cache, pos, sin, cos,
+                       steps: int):
+    """`steps` greedy decode iterations for B=1 in one kernel launch.
+    x0 [1, d] = embedding of the CURRENT token; returns (tokens [steps]
+    — the sampled continuation, k_cache, v_cache)."""
+    blocks = params["blocks"]
+    quant = isinstance(blocks["wqkv"], QuantArray)
+    g = blocks["wqkv"].group_size if quant else 0
+    nt = plan_tiles(blocks, k_cache.dtype, k_cache.shape[1])
+    assert nt is not None, "model does not fit the megakernel VMEM budget"
+    lm_quant = isinstance(params["lm_head"], QuantArray)
+    return _fused_chunk(x0, k_cache, v_cache, pos, sin, cos, params,
+                        H=cfg.n_heads, KH=cfg.n_kv_heads, hd=cfg.head_dim,
+                        g=g, eps=cfg.norm_eps, quant=quant,
+                        rope_style=cfg.rope_style, n_tiles=nt, steps=steps,
+                        lm_quant=lm_quant)

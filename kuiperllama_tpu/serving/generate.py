@@ -81,12 +81,56 @@ def decode_chunk(cfg: ModelConfig, params, token, pos, kv_cache, done, rng,
             v=jax.lax.slice_in_dim(kv_cache["v"], 0, active_len, axis=2),
         )
 
+    import os as _os
+
+    if (fused and temperature <= 0.0 and top_k == 0 and top_p >= 1.0
+            and _os.environ.get("KT_FUSED_CHUNK") == "1"):
+        # greedy chunk megakernel: ALL `steps` iterations in ONE
+        # pallas_call — lm_head, argmax and the next token's embedding
+        # fetch happen in-kernel, so there are zero per-step launch
+        # boundaries (ops/pallas/fused_decode.fused_decode_chunk).
+        # OPT-IN (KT_FUSED_CHUNK=1, process-start-only like the KT_*
+        # knobs): the r4 A/B showed it TIES the single-step megakernel at
+        # TinyLlama/Qwen (507 / 553 tok/s) but LOSES at Llama-3.2-1B
+        # (374 vs 435 — its 263 MB lm_head streams slower through the
+        # in-kernel vocab tiles than through the tuned standalone diag
+        # kernel), so the default path is megakernel + outside lm_head.
+        from ..models.decoder import build_rope
+        from ..ops.pallas.fused_decode import fused_decode_chunk
+
+        L, B1, A, KH, hd = cache["k"].shape
+        assert B1 == 1, "fused decode is a B=1 latency path"
+        x0 = params["tok_emb"][token]  # [1, d]
+        kc = cache["k"].reshape(L, A, KH * hd)
+        vc = cache["v"].reshape(L, A, KH * hd)
+        sin, cos = build_rope(cfg)
+        toks1, kc, vc = fused_decode_chunk(
+            cfg, params, x0, kc, vc, pos[0], sin, cos, steps)
+        cache = dict(k=kc.reshape(L, 1, A, KH, hd),
+                     v=vc.reshape(L, 1, A, KH, hd))
+        token = toks1[-1:]
+        pos = pos + steps
+        done = done | jnp.any(toks1[:, None] == stop_ids[None, :])
+        toks = toks1[:, None]  # [steps, B=1] (matches the scan's ys)
+        if sliced:
+            kv_cache = dict(
+                k=jax.lax.dynamic_update_slice_in_dim(
+                    kv_cache["k"], cache["k"], 0, axis=2),
+                v=jax.lax.dynamic_update_slice_in_dim(
+                    kv_cache["v"], cache["v"], 0, axis=2),
+            )
+        else:
+            kv_cache = cache
+        return jnp.transpose(toks), token, pos, kv_cache, done, rng
+
     def step(carry, _):
         token, pos, cache, done, rng = carry
         if fused:
             # decode megakernel (ops/pallas/fused_decode.py): the whole
             # layer stack in ONE pallas_call — per-step launch count goes
-            # from ~10/layer to 3 (megakernel, lm_head, sampling glue)
+            # from ~10/layer to 3 (megakernel, lm_head, sampling glue).
+            # This per-step variant serves non-greedy sampling; the greedy
+            # path takes the chunk kernel above.
             from ..models.decoder import build_rope
             from ..ops.linear import linear
             from ..ops.pallas.fused_decode import fused_decode_step

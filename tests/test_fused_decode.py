@@ -137,3 +137,47 @@ def test_fused_step_tiled_ffn_matches():
                                np.asarray(x1, np.float32), rtol=0, atol=0.02)
     assert np.array_equal(np.asarray(k1, np.float32),
                           np.asarray(k2, np.float32))
+
+
+def _assert_greedy_equiv(cfg, params, prompt, want, got):
+    """Greedy outputs must match UNLESS the divergence step is an exact
+    logit tie (tiny random bf16 models produce them; the chunk kernel's
+    split-softmax rounding can break a tie the other way, which is an
+    equally valid greedy continuation). On the first mismatch, teacher-
+    force the `want` prefix through the oracle and require the two
+    candidate tokens' logits to be within bf16 noise; stop comparing
+    after (sequences legitimately differ past a tie)."""
+    if got == want:
+        return
+    i = next(k for k, (a, b) in enumerate(zip(want, got)) if a != b)
+    ids = list(prompt) + list(want[:i])
+    A = 64
+    cache = decoder.init_kv_cache(cfg, batch=1, max_len=A,
+                                  dtype=jnp.bfloat16)
+    logits, _ = decoder.prefill(cfg, params,
+                                jnp.asarray([ids], jnp.int32), cache)
+    v = np.asarray(logits[0])
+    gap = abs(float(v[want[i]]) - float(v[got[i]]))
+    assert gap <= 2e-3 * max(1.0, abs(float(v.max()))), (
+        f"divergence at step {i} is not a tie: {want[i]} vs {got[i]}, "
+        f"logit gap {gap}")
+
+
+@pytest.mark.parametrize("family,quant", [
+    ("llama2", True), ("qwen2", False), ("qwen2", True), ("llama2", False),
+])
+def test_fused_chunk_generation_matches(family, quant, monkeypatch):
+    """Greedy CHUNK kernel (in-kernel lm_head + argmax + embedding DMA)
+    must reproduce the unfused generator's greedy output up to exact
+    logit ties. Opt-in path (KT_FUSED_CHUNK=1)."""
+    monkeypatch.setenv("KT_FUSED_CHUNK", "1")
+    cfg = tiny_config(family, seq_len=64)
+    params = _mk_params(cfg, quant)
+    prompt = [1, 7, 3, 2, 9]
+    base = Generator(cfg, params, cache_len=64, cache_dtype=jnp.bfloat16,
+                     fused_step=False, chunk=6)
+    want, *_ = base.generate_ids(prompt, max_new_tokens=14)
+    fast = Generator(cfg, params, cache_len=64, cache_dtype=jnp.bfloat16,
+                     fused_step=True, chunk=6)
+    got, *_ = fast.generate_ids(prompt, max_new_tokens=14)
+    _assert_greedy_equiv(cfg, params, prompt, want, got)
