@@ -71,6 +71,12 @@ import os as _os
 
 _BLOCK_OUT = int(_os.environ.get("KT_BLOCK_OUT", "512"))
 _BLOCK_IN = int(_os.environ.get("KT_BLOCK_IN", "4096"))
+# M=1 diag-eligible GEMVs route through the XLA block-diagonal path by
+# DEFAULT (KT_XLA_DIAG=0 restores the Pallas diag kernel): XLA's dot
+# emitter fuses the int8 cast + layer slice and won the r4 interleaved
+# A/B on the 7B headline 4/4 samples (93.0-93.7 vs 91.1-92.4 tok/s,
+# ~+1.4%) — it removes a pallas_call boundary per projection.
+_XLA_DIAG = _os.environ.get("KT_XLA_DIAG", "1") == "1"
 
 
 def set_quant_matmul_mode(mode: str):
@@ -338,7 +344,7 @@ def quant_matmul(x, w: QuantArray, mode: str | None = None,
     block_out = block_out or _BLOCK_OUT
     block_in = block_in or _BLOCK_IN
     lead = x.shape[:-1]
-    if (_os.environ.get("KT_XLA_DIAG") == "1"
+    if (_XLA_DIAG
             and (mode or _DEFAULT_MODE) == "fast"
             and x.reshape(-1, x.shape[-1]).shape[0] == 1
             and x.shape[-1] % w.group_size == 0
@@ -522,7 +528,7 @@ def quant_matmul_layered(x, w: QuantArray, layer_idx, mode: str | None = None,
     K = x.shape[-1]
     N = w.q.shape[-1]
     x2 = x.reshape(-1, K)
-    if (_os.environ.get("KT_XLA_DIAG") == "1"
+    if (_XLA_DIAG
             and (mode or _DEFAULT_MODE) == "fast" and x2.shape[0] == 1
             and K % w.group_size == 0
             and K // w.group_size <= _DIAG_MAX_GROUPS):
