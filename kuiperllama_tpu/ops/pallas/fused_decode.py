@@ -57,8 +57,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...quant import QuantArray
 
+import os as _os
+
 NEG_INF = -1e30
 _VMEM_LIMIT = 116 * 1024 * 1024
+# process-start-only sweep knob: hand int8 sub-chunks to dot_general
+# without the explicit bf16 cast (Mosaic converts internally). r4 A/B at
+# TinyLlama: 518.5 vs 514.8 tok/s — noise-level; default off.
+_MIXED_DOT = _os.environ.get("KT_MIXED_DOT") == "1"
 
 
 def rope_matrix(sin_row, cos_row, style: str, hd: int):
@@ -137,8 +143,9 @@ def _gemv(h_bf, w_ref, s_ref, g: int, lead=(0,)):
     sub = _sub(K, w_ref.shape[nl + 1])
     P = None
     for i in range(K // sub):
-        wc = w_ref[(*lead, slice(i * sub, (i + 1) * sub), slice(None))
-                   ].astype(jnp.bfloat16)
+        wc = w_ref[(*lead, slice(i * sub, (i + 1) * sub), slice(None))]
+        if not _MIXED_DOT:
+            wc = wc.astype(jnp.bfloat16)
         part = jax.lax.dot_general(
             A[:, i * sub:(i + 1) * sub], wc, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # [ngp, N]
