@@ -345,7 +345,10 @@ def plan_tiles(blocks, cache_dtype=jnp.bfloat16, active_len: int = 1024):
     kv_lane = (blocks["wo"].q.shape[-2] if quant
                else blocks["wo"].shape[-2])  # = d; slab lanes = KH*hd <= d
     slab = active_len * kv_lane * jnp.dtype(cache_dtype).itemsize
-    budget = int(_VMEM_LIMIT * 0.72)
+    # 0.78: sized so TinyLlama-fp (NT=4 est 89 MB) fits with headroom for
+    # the ~12 MB of per-iteration transients; compile fails loudly if a
+    # geometry lies outside what Mosaic can actually buffer
+    budget = int(_VMEM_LIMIT * 0.78)
     for nt in (1, 2, 4, 8):
         # NT == 1 blocks span whole axes (always legal); NT > 1 column
         # tiles must be 128-lane and group aligned
