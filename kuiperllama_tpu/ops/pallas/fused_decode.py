@@ -349,12 +349,18 @@ def plan_tiles(blocks, cache_dtype=jnp.bfloat16, active_len: int = 1024):
     # the ~12 MB of per-iteration transients; compile fails loudly if a
     # geometry lies outside what Mosaic can actually buffer
     budget = int(_VMEM_LIMIT * 0.78)
+    # COMPILED Mosaic requires the w13 gate/up column blocks (always
+    # hidden/NT wide — a HALF of the fused array even at NT=1) to be
+    # 128-lane aligned; the interpreter (CPU tests) has no such rule, so
+    # tiny test geometries stay eligible there. Without this gate the
+    # demo CLI crashed on TPU for a dim-64 fixture checkpoint.
+    strict = not _interpret()
     for nt in (1, 2, 4, 8):
-        # NT == 1 blocks span whole axes (always legal); NT > 1 column
-        # tiles must be 128-lane and group aligned
-        if nt > 1 and (hidden % nt or (hidden // nt) % 128):
+        if hidden % nt:
             continue
-        if nt > 1 and quant and (hidden // nt) % w2.group_size:
+        if (strict or nt > 1) and (hidden // nt) % 128:
+            continue
+        if quant and (hidden // nt) % w2.group_size:
             continue
         est = 2 * (attn + ffn // nt + 2 * slab)
         if est <= budget:
