@@ -811,7 +811,7 @@ def _fused_chunk(x0, k_cache, v_cache, pos, sin, cos, params,
                    jnp.pad(lmw.s, ((0, 0), (0, Vpad - V))))
     else:
         V = lmw.shape[-1]
-        VT = _pick_vt(-(-V // 2048) * 2048, d, 2)
+        VT = _pick_vt(-(-V // 2048) * 2048, d, lmw.dtype.itemsize)
         lm_dtype_pad = -(-V // VT) * VT
         Vpad = lm_dtype_pad
         lm_args = (jnp.pad(lmw, ((0, 0), (0, Vpad - V))),
@@ -835,6 +835,13 @@ def _fused_chunk(x0, k_cache, v_cache, pos, sin, cos, params,
     def lidx(ii):
         return jnp.minimum(ii // NT, L - 1)
 
+    def tidx(ii):
+        # FFN tile index, CLAMPED during the vocab phase: a plain
+        # rem(ii, NT) keeps cycling 0..NT-1 after the layer phase ends, so
+        # Pallas would re-fetch last-layer w13/w2 tiles once per vocab tile
+        # — pure wasted HBM bandwidth (ADVICE r4)
+        return jnp.where(ii < PH, jax.lax.rem(ii, NT), NT - 1)
+
     def lspec(arr):
         nz = arr.ndim - 1
         return pl.BlockSpec((1,) + arr.shape[1:],
@@ -844,9 +851,7 @@ def _fused_chunk(x0, k_cache, v_cache, pos, sin, cos, params,
         off = NT if up else 0
         return pl.BlockSpec(
             (1, w13_arr.shape[1], ht),
-            lambda s, ii, p, off=off: (lidx(ii), 0,
-                                       off + jnp.minimum(
-                                           jax.lax.rem(ii, NT), NT - 1)))
+            lambda s, ii, p, off=off: (lidx(ii), 0, off + tidx(ii)))
 
     def w13sspec(up: bool):
         if not quant:
@@ -854,8 +859,7 @@ def _fused_chunk(x0, k_cache, v_cache, pos, sin, cos, params,
         off = NT if up else 0
         return pl.BlockSpec(
             (1, w13_s_arr.shape[1], s13_cols // (2 * NT)),
-            lambda s, ii, p, off=off: (lidx(ii), 0,
-                                       off + jax.lax.rem(ii, NT)))
+            lambda s, ii, p, off=off: (lidx(ii), 0, off + tidx(ii)))
 
     def lmspec(arr):
         # pin tile 0 during the layer phase (prefetches it); tile j in the
@@ -879,11 +883,9 @@ def _fused_chunk(x0, k_cache, v_cache, pos, sin, cos, params,
             w13spec(False), w13sspec(False),
             w13spec(True), w13sspec(True),
             pl.BlockSpec((1, 1) + wq_args[6].shape[2:],
-                         lambda s, ii, p: (lidx(ii), jax.lax.rem(ii, NT),
-                                           0, 0)),
+                         lambda s, ii, p: (lidx(ii), tidx(ii), 0, 0)),
             pl.BlockSpec((1, 1) + wq_args[7].shape[2:],
-                         lambda s, ii, p: (lidx(ii), jax.lax.rem(ii, NT),
-                                           0, 0)),
+                         lambda s, ii, p: (lidx(ii), tidx(ii), 0, 0)),
             pl.BlockSpec((1, 1, bqkv.shape[-1]),
                          lambda s, ii, p: (lidx(ii), 0, 0)),
             pl.BlockSpec((1, A, KV), lambda s, ii, p: (lidx(ii), 0, 0)),

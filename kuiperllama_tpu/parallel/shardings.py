@@ -134,6 +134,25 @@ def validate_seqpar(cfg: ModelConfig, sp: int):
     divide sp (attention is replicated), only the MLP/vocab dims must."""
     assert cfg.hidden_dim % sp == 0, (cfg.hidden_dim, sp)
     assert cfg.vocab_size % sp == 0, (cfg.vocab_size, sp)
+    # Mirror validate_tp's lane rule for the Megatron-sharded MLP columns
+    # and the vocab-sharded lm_head: a per-shard column dim that is not
+    # 128-lane aligned passes on the CPU interpreter but fails Mosaic
+    # compilation on real hardware. Warn/raise at setup, not first decode.
+    for name, local in (("hidden_dim", cfg.hidden_dim // sp),
+                        ("vocab_size", cfg.vocab_size // sp)):
+        if local % 128 != 0:
+            msg = (
+                f"seqpar sp={sp} leaves a per-shard {name} column dim of "
+                f"{local}; compiled Mosaic kernels need 128-lane-aligned "
+                f"column blocks, so this sp degree cannot run on TPU "
+                f"hardware"
+            )
+            if jax.default_backend() == "tpu":
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg + " — continuing only because this backend "
+                          "runs the Pallas interpreter", stacklevel=2)
 
 
 def shard_params(params, mesh, cfg: ModelConfig, seqpar: bool = False):

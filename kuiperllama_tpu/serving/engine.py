@@ -129,6 +129,9 @@ class Engine:
         self._admit_order: Dict[int, int] = {}  # slot -> admission seqno
         self._admit_seq = itertools.count()
         self.n_preemptions = 0
+        # requests retired DURING a preemption (cache capacity exhausted —
+        # nothing left to resume); drained into _collect's finished list
+        self._preempt_retired: List[Request] = []
         self._init_cache()
 
     # ---- cache backend hooks (overridden by PagedEngine)
@@ -310,6 +313,9 @@ class Engine:
 
     def _collect(self, toks: np.ndarray) -> List[Request]:
         finished = []
+        if self._preempt_retired:
+            finished.extend(self._preempt_retired)
+            self._preempt_retired.clear()
         done_np = np.asarray(self.done)
         pos_np = np.asarray(self.pos)
         for slot, req in list(self.active.items()):
@@ -382,7 +388,7 @@ class PagedEngine(Engine):
         if sp > 1:
             # page-dim sharding needs (a) sp | n_pages and (b) one garbage
             # page per shard (local page 0 = global s*P_local, reserved)
-            n_pages = -(-(n_pages + sp - 1) // sp) * sp
+            n_pages = -(-n_pages // sp) * sp
         self._n_pages = n_pages
         self._alloc_cls = PageAllocator
         self._init_paged = init_paged_cache
@@ -698,7 +704,14 @@ class PagedEngine(Engine):
         self._reserved_caps.pop(slot, None)
         req.preempted += 1
         self.n_preemptions += 1
-        self.queue.insert(0, req)
+        if len(self._effective_ids(req)) >= self.max_len:
+            # the sequence already fills its cache capacity — a re-queue
+            # would trip _pop_admits' `n < max_len` invariant on resume.
+            # It cannot generate further anyway: retire it finished.
+            req.finish_time = time.perf_counter()
+            self._preempt_retired.append(req)
+        else:
+            self.queue.insert(0, req)
 
     def _retire_slot(self, slot: int):
         self.allocator.free_seq(slot)

@@ -5,6 +5,7 @@ Preempted requests resume via a prefill of prompt + generated-so-far, so
 greedy outputs are EXACTLY those of an unconstrained run."""
 
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from kuiperllama_tpu.config import tiny_config
@@ -85,6 +86,40 @@ def test_oversized_request_fails_loudly(model):
     eng.submit(Request(prompt_ids=list(range(1, 30)), max_new_tokens=30))
     with pytest.raises(RuntimeError, match="KV pages"):
         eng.run([])
+
+
+def test_preempt_at_cache_capacity_retires(model):
+    """A victim whose prompt + generated already fills max_len must be
+    RETIRED by the preemption, not re-queued: a re-queue would trip
+    _pop_admits' `n < max_len` invariant on resume and crash the engine
+    in exactly the over-commit mode preemption exists to protect
+    (ADVICE r4, medium).
+
+    The window: a slot admitted with a max_len-1-token prompt has
+    eff = pos + 1 = max_len right after _activate appends the prefill's
+    sampled token, BEFORE any _collect capacity check runs — a pool-
+    pressure preemption in that same chunk picks it (youngest) as victim."""
+    cfg, params = model
+    eng = PagedEngine(cfg, params, max_batch=2, max_len=16, chunk=4,
+                      cache_dtype=jnp.float32, page_size=4, n_pages=8,
+                      reserve_growth=False)
+    # A decodes alone until it holds 3 of the 7 usable pages
+    a = Request(prompt_ids=[1, 5], max_new_tokens=30)
+    eng.submit(a)
+    done = []
+    while not done and eng.has_work:
+        done.extend(eng.step())
+        if int(np.asarray(eng.pos).max()) >= 9:
+            break
+    # B fills its cache at admission: prompt 15 = max_len - 1, so after
+    # the prefill token lands eff(B) == max_len while pos(B) == 15
+    b = Request(prompt_ids=list(range(1, 16)), max_new_tokens=30)
+    eng.submit(b)
+    while eng.has_work:  # must not raise (old code: assert in _pop_admits)
+        done.extend(eng.step())
+    assert {r.request_id for r in done} == {a.request_id, b.request_id}
+    assert all(r.finished for r in done)
+    assert eng.allocator.n_free_pages == 7  # all pages returned
 
 
 def test_ttft_preserved_across_preemption(model):
