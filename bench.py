@@ -80,6 +80,15 @@ def main():
     ap.add_argument("--prompt-len", type=int, default=32)
     ap.add_argument("--cache-len", type=int, default=1024)
     ap.add_argument("--fp", action="store_true", help="bf16 weights, no quant")
+    ap.add_argument("--group", type=int, default=256,
+                    help="Q8_0 quant group size. The reference exports 64; "
+                         "the r5 default is 256 — it shrinks the "
+                         "block-diagonal group-partial rows 4x and the "
+                         "scale stream, worth +7%% on the 7B headline, and "
+                         "holds the |dppl|<=0.1 gate "
+                         "(checkpoints/tinychar_g256/GATE_PPL_G256_r05."
+                         "json). --group 64 restores the reference's "
+                         "export-format quantization")
     ap.add_argument("--no-fuse", action="store_true",
                     help="disable qkv/gate-up weight fusion")
     ap.add_argument("--scales-fp32", action="store_true",
@@ -129,7 +138,8 @@ def main():
 
     cfg = preset_config(args.model, seq_len=max(args.cache_len, 256))
     t0 = time.time()
-    params = random_params_device(cfg, quantize=not args.fp, dtype=jnp.bfloat16)
+    params = random_params_device(cfg, quantize=not args.fp, dtype=jnp.bfloat16,
+                                  group_size=args.group)
     if not args.no_fuse:
         from kuiperllama_tpu.fuse import fuse_params
 
@@ -426,6 +436,10 @@ def _bench_engine(args, cfg, params):
     # shapes (shrunken admit chunks, wave history buckets) to compile
     # inside the timed run
     eng.run(mk())
+    # prefill MFU accounting must not count the warmup's compile stalls
+    eng.prefill_wall_s = 0.0
+    eng.prefill_tokens = 0
+    eng.prefill_padded_tokens = 0
 
     if args.arrival_rate > 0:
         # staggered (Poisson) arrivals: requests are submitted over time,
@@ -480,6 +494,31 @@ def _bench_engine(args, cfg, params):
         "backend": args.engine_backend,
         "hbm_estimate_gb": round(est / 1e9, 2),
     }
+    if eng.prefill_wall_s > 0 and eng.prefill_padded_tokens:
+        # prefill MFU vs the measured MXU probe: FLOPs = 2 * weight params
+        # * padded tokens computed (attention FLOPs ~1-2% at these prompt
+        # lengths, ignored). Covers single-shot admit prefills only — in
+        # chunked-overlap mode prefill and decode interleave on device and
+        # a wall split would be fiction.
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        emb = params["tok_emb"]
+        n_weight_params = sum(
+            l.size for l in _jax.tree.leaves(params)
+            if l.dtype in (_jnp.int8, emb.dtype) and l is not emb
+            and l.ndim >= 2 and (args.fp or l.dtype == _jnp.int8))
+        # the lm_head projects only each row's LAST token (last_pos), so
+        # its params don't multiply by T
+        lm = params["lm_head"]
+        n_weight_params -= (lm.q.size if hasattr(lm, "q") else lm.size)
+        flops = 2.0 * n_weight_params * eng.prefill_padded_tokens
+        peak = _load_probes().get("mxu_bf16_TFLOPs", 116.5) * 1e12
+        rec["prefill_wall_s"] = round(eng.prefill_wall_s, 3)
+        rec["prefill_padded_tokens"] = eng.prefill_padded_tokens
+        rec["prefill_tokens"] = eng.prefill_tokens
+        rec["prefill_mfu_pct"] = round(
+            100.0 * flops / eng.prefill_wall_s / peak, 1)
     if args.batch != requested_batch:
         rec["hbm_degraded_from_slots"] = requested_batch
     if args.prefill_chunk:

@@ -23,6 +23,39 @@ def set_use_pallas(flag: bool):
     _USE_PALLAS = flag
 
 
+# Prefill (large-M) projections dequantize the whole weight to bf16 ONCE
+# and take a plain XLA dot: at M >= ~256 the matmul is MXU-compute-bound,
+# and the Pallas kernel's per-(m-block, tile) in-kernel dequant re-casts
+# the same weight tile for every m block (n_m x the VPU work — measured
+# as ~25-30% prefill MFU in r4's longctx TTFT). The one bf16 weight
+# transient (45 MB for 7B w13) is negligible next to prefill activations.
+# KT_PREFILL_XLA_M=0 disables the route (process-start-only sweep knob).
+import os as _os
+
+_XLA_PREFILL_M = int(_os.environ.get("KT_PREFILL_XLA_M", "256"))
+
+
+def _dequant_dot_xla(x, w: QuantArray, layer_idx=None):
+    """Large-M path: materialize dequant(w) in bf16, one full-speed MXU
+    dot. With layer_idx, the dynamic layer slice fuses into XLA's
+    gather/dot pipeline (no Pallas operand-copy problem here)."""
+    q, s = w.q, w.s
+    if layer_idx is not None:
+        q = jax.lax.dynamic_index_in_dim(q, layer_idx, 0, keepdims=False)
+        s = jax.lax.dynamic_index_in_dim(s, layer_idx, 0, keepdims=False)
+    g = w.group_size
+    in_dim, out_dim = q.shape[-2], q.shape[-1]
+    ng = in_dim // g
+    wd = (q.astype(jnp.bfloat16).reshape(ng, g, out_dim)
+          * s[:ng, None, :].astype(jnp.bfloat16)).reshape(in_dim, out_dim)
+    out = jax.lax.dot_general(
+        x.astype(jnp.bfloat16), wd,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(x.dtype)
+
+
 def _quant_matmul_xla(x, w: QuantArray):
     """x: [..., in] @ int8 [in, out] with fp32 group scales [in/g, out].
 
@@ -48,7 +81,12 @@ def _quant_matmul_xla(x, w: QuantArray):
 def linear(x, w, bias=None):
     """x: [..., in]; w: [in, out] array or QuantArray; bias: [out] or None."""
     if isinstance(w, QuantArray):
-        if _USE_PALLAS and x.ndim >= 2:
+        rows = 1
+        for dim in x.shape[:-1]:
+            rows *= dim
+        if _XLA_PREFILL_M and rows >= _XLA_PREFILL_M:
+            out = _dequant_dot_xla(x, w)
+        elif _USE_PALLAS and x.ndim >= 2:
             from .pallas.quant_matmul import quant_matmul
 
             out = quant_matmul(x, w)
@@ -76,7 +114,12 @@ def linear_layered(x, w, layer_idx, bias=None):
     index_map and DMAs tiles straight from the stacked HBM buffer.
     """
     if isinstance(w, QuantArray):
-        if _USE_PALLAS and x.ndim >= 2:
+        rows = 1
+        for dim in x.shape[:-1]:
+            rows *= dim
+        if _XLA_PREFILL_M and rows >= _XLA_PREFILL_M:
+            out = _dequant_dot_xla(x, w, layer_idx)
+        elif _USE_PALLAS and x.ndim >= 2:
             from .pallas.quant_matmul import quant_matmul_layered
 
             out = quant_matmul_layered(x, w, layer_idx)

@@ -65,6 +65,10 @@ _VMEM_LIMIT = 116 * 1024 * 1024
 # without the explicit bf16 cast (Mosaic converts internally). r4 A/B at
 # TinyLlama: 518.5 vs 514.8 tok/s — noise-level; default off.
 _MIXED_DOT = _os.environ.get("KT_MIXED_DOT") == "1"
+# r5 sweep knob: int8-activation GEMVs in the SMALL megakernel (quantize
+# the normed activation per group, s8xs8->s32 MXU pass, no dequant cast —
+# see _quant_act/_gemv_from_act). Default off pending the A/B.
+_GEMV_INT8 = _os.environ.get("KT_GEMV_INT8", "0") == "1"
 
 
 def rope_matrix(sin_row, cos_row, style: str, hd: int):
@@ -118,26 +122,64 @@ def _sub(K: int, N: int, budget: int = 6 * 1024 * 1024) -> int:
     return best or K
 
 
-def _gemv(h_bf, w_ref, s_ref, g: int, lead=(0,)):
+def _quant_act(h_bf, ngp: int, K: int, g: int):
+    """Per-GROUP int8 quantization of an activation row: returns
+    (Aq int8 [ngp, K] block-diagonal, d fp32 [ngp, 1] per-group scales).
+    Rounding error ~0.4% relative per element — the same class as the
+    bf16 rounding the bf16-A path pays on h itself."""
+    mask = (_iota2((ngp, K), 0) == _iota2((ngp, K), 1) // g)
+    Af = mask.astype(jnp.float32) * _rows(h_bf.astype(jnp.float32), ngp)
+    amax = jnp.max(jnp.abs(Af), axis=1, keepdims=True)  # [ngp, 1]
+    d = jnp.where(amax > 0, amax / 127.0, 1.0)
+    Aq = jnp.round(Af / d).astype(jnp.int8)
+    return Aq, d
+
+
+def _gemv_from_act(Aq, d, w_ref, s_ref, lead):
+    """Block-diagonal GEMV from a PRE-QUANTIZED activation (see _quant_act):
+    one s8 x s8 -> s32 MXU pass (2x bf16 MXU throughput, zero dequant-cast
+    VPU work), scales (weight-group x activation-group) applied to the
+    [ngp, N] s32 partials in fp32."""
+    full = (slice(None), slice(None))
+    Pi = jax.lax.dot_general(
+        Aq, w_ref[(*lead, *full)], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)  # [ngp, N] exact
+    y = jnp.sum(Pi.astype(jnp.float32) * d
+                * s_ref[(*lead, *full)].astype(jnp.float32),
+                axis=0, keepdims=True)
+    return y  # [1, N] fp32
+
+
+def _gemv(h_bf, w_ref, s_ref, g: int, lead=(0,), int8_a=None):
     """[1, K] bf16 @ (int8 [*lead, K, N] + scales [*lead, ngp, N]) ->
     [1, N] fp32 via the block-diagonal group-partial trick; or a plain dot
     when s_ref is None (dense bf16 weight). `lead` indexes away the
     leading block dims of the ref (e.g. (0, 0) for a [1, 1, K, N] tile).
 
-    The int8 tile is dequantized (cast) and contracted per reduction
-    SUB-chunk — one whole-weight cast is a 2x VMEM transient (23 MB for
-    w13) that both breaks the pipeline's double-buffer budget and
-    serializes ~25 us of VPU behind the MXU; chunking lets Mosaic overlap
-    chunk i+1's cast with chunk i's MXU pass (the same rule
-    quant_matmul.py's fast mode learned in r3)."""
+    int8_a=False (bf16 A): the int8 tile is dequantized (cast) and
+    contracted per reduction SUB-chunk — one whole-weight cast is a 2x
+    VMEM transient (23 MB for w13) that both breaks the pipeline's
+    double-buffer budget and serializes ~25 us of VPU behind the MXU;
+    chunking lets Mosaic overlap chunk i+1's cast with chunk i's MXU pass
+    (the same rule quant_matmul.py's fast mode learned in r3).
+
+    int8_a=True: quantize the activation per group (_quant_act) and run
+    ONE s8xs8->s32 MXU pass — no weight cast at all, half the MXU cycles
+    (r5; the in-kernel dots at ng = K/g <= 64 rows run at <= half MXU row
+    utilization, so their cycle cost is what fails to hide behind DMA)."""
     full = (slice(None), slice(None))
     if s_ref is None:
         return jax.lax.dot_general(
             h_bf, w_ref[(*lead, *full)], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+    if int8_a is None:
+        int8_a = _GEMV_INT8
     nl = len(lead)
     K = w_ref.shape[nl]
     ngp = s_ref.shape[nl]  # padded group rows; rows >= K//g stay zero in A
+    if int8_a:
+        Aq, d = _quant_act(h_bf, ngp, K, g)
+        return _gemv_from_act(Aq, d, w_ref, s_ref, lead)
     A = (_iota2((ngp, K), 0) == _iota2((ngp, K), 1) // g
          ).astype(jnp.bfloat16) * _rows(h_bf, ngp)
     sub = _sub(K, w_ref.shape[nl + 1])

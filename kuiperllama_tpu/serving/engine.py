@@ -129,6 +129,13 @@ class Engine:
         self._admit_order: Dict[int, int] = {}  # slot -> admission seqno
         self._admit_seq = itertools.count()
         self.n_preemptions = 0
+        # prefill efficiency accounting (bench reports MFU from these):
+        # wall covers the single-shot batched admit prefills (device work
+        # + the first-token sync); token counts are real prompt tokens and
+        # the padded [Bpad, T] grid the forward actually computes
+        self.prefill_wall_s = 0.0
+        self.prefill_tokens = 0
+        self.prefill_padded_tokens = 0
         # requests retired DURING a preemption (cache capacity exhausted —
         # nothing left to resume); drained into _collect's finished list
         self._preempt_retired: List[Request] = []
@@ -283,8 +290,13 @@ class Engine:
             lens[i] = n
             slots[i] = slot
         self.rng, sub = jax.random.split(self.rng)
+        t0 = time.perf_counter()
         first, done = self._prefill_batch(slots, toks, lens, sub)
-        self._activate(admits, slots, lens, first, done)
+        self._activate(admits, slots, lens, first, done)  # syncs
+        self.prefill_wall_s += time.perf_counter() - t0
+        self.prefill_tokens += int(sum(len(self._effective_ids(r))
+                                       for _, r in admits))
+        self.prefill_padded_tokens += Bpad * T
 
     def _activate(self, admits, slots, lens, first, done):
         """Post-prefill bookkeeping: install first tokens/positions, record

@@ -83,7 +83,20 @@ def decode_chunk(cfg: ModelConfig, params, token, pos, kv_cache, done, rng,
 
     import os as _os
 
-    if (fused and temperature <= 0.0 and top_k == 0 and top_p >= 1.0
+    _small = False
+    if fused:
+        from ..ops.pallas.fused_decode import fits_vmem as _fits_small
+        from ..ops.pallas.fused_decode_big import fits_vmem_big as _fits_big
+
+        alen = active_len if (bool(active_len) and active_len < S) else S
+        _small = _fits_small(params["blocks"], kv_cache["k"].dtype, alen)
+        _big_on = _os.environ.get("KT_FUSED_BIG", "0") == "1"
+        if not _small and not (_big_on and _fits_big(
+                params["blocks"], kv_cache["k"].dtype, alen)):
+            fused = False  # this chunk's cache slab outgrew both plans
+
+    if (fused and _small and temperature <= 0.0 and top_k == 0
+            and top_p >= 1.0
             and _os.environ.get("KT_FUSED_CHUNK") == "1"):
         # greedy chunk megakernel: ALL `steps` iterations in ONE
         # pallas_call — lm_head, argmax and the next token's embedding
@@ -130,10 +143,13 @@ def decode_chunk(cfg: ModelConfig, params, token, pos, kv_cache, done, rng,
             # layer stack in ONE pallas_call — per-step launch count goes
             # from ~10/layer to 3 (megakernel, lm_head, sampling glue).
             # This per-step variant serves non-greedy sampling; the greedy
-            # path takes the chunk kernel above.
+            # path takes the chunk kernel above. Big models whose
+            # attention weights exceed the small kernel's VMEM plan take
+            # the fully-tiled big-model variant (fused_decode_big.py, r5).
             from ..models.decoder import build_rope
             from ..ops.linear import linear
             from ..ops.pallas.fused_decode import fused_decode_step
+            from ..ops.pallas.fused_decode_big import fused_decode_step_big
 
             L, B1, A, KH, hd = cache["k"].shape
             assert B1 == 1, "fused decode step is a B=1 latency path"
@@ -141,7 +157,8 @@ def decode_chunk(cfg: ModelConfig, params, token, pos, kv_cache, done, rng,
             kc = cache["k"].reshape(L, A, KH * hd)
             vc = cache["v"].reshape(L, A, KH * hd)
             sin, cos = build_rope(cfg)
-            x_fin, kc, vc = fused_decode_step(
+            step_fn = fused_decode_step if _small else fused_decode_step_big
+            x_fin, kc, vc = step_fn(
                 cfg, params, x0, kc, vc, pos[0], sin, cos)
             logits = linear(x_fin, params["lm_head"]).astype(jnp.float32)
             new_cache = dict(k=kc.reshape(L, 1, A, KH, hd),
@@ -213,11 +230,23 @@ class Generator:
         if self.fused_step is False:
             return False
         from ..ops.pallas.fused_decode import fits_vmem
+        from ..ops.pallas.fused_decode_big import fits_vmem_big
+
+        def _anyplan(blocks):
+            # the chunked decode loop slices the cache to a bucketed
+            # active_len, so plan feasibility is judged per-chunk inside
+            # decode_chunk; here the smallest bucket decides eligibility
+            import os as _os
+
+            alen = min(_bucket_len(1), self.cache_len)
+            big_on = _os.environ.get("KT_FUSED_BIG", "0") == "1"
+            return (fits_vmem(blocks, self.cache_dtype, alen)
+                    or (big_on and fits_vmem_big(blocks, self.cache_dtype,
+                                                 alen)))
 
         structural = ("blocks" in self.params
                       and "wqkv" in self.params["blocks"]
-                      and fits_vmem(self.params["blocks"], self.cache_dtype,
-                                    self.cache_len))
+                      and _anyplan(self.params["blocks"]))
         if self.fused_step is True:
             return structural
         import os

@@ -158,3 +158,34 @@ def test_diag_gemv_layered_matches_sliced(rng):
         want = np.asarray(_quant_matmul_xla(x.astype(jnp.float32), wl))
         rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
         assert rel < 1e-2, (li, rel)
+
+
+def test_prefill_bigm_dequant_dot_route(rng):
+    """linear()/linear_layered() route M >= KT_PREFILL_XLA_M (256) rows
+    through the dequant-then-dot XLA path (r5: the Pallas kernel re-casts
+    each weight tile per m-block, sinking prefill MFU); numerics must stay
+    in the fast-mode class."""
+    import jax.numpy as jnp
+    from kuiperllama_tpu.ops.linear import (_dequant_dot_xla, linear,
+                                            linear_layered)
+    from kuiperllama_tpu.quant import QuantArray
+
+    L, K, N, g, M = 2, 256, 384, 64, 512
+    q = rng.integers(-127, 128, (L, K, N)).astype(np.int8)
+    s = rng.uniform(0.005, 0.02, (L, K // g, N)).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+    w0 = QuantArray(q=jnp.asarray(q[0]), s=jnp.asarray(s[0]), group_size=g)
+    want = np.asarray(_quant_matmul_xla(x.astype(jnp.float32), w0))
+    got = np.asarray(linear(x, w0), dtype=np.float32)
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 2e-2, rel
+    # layered variant picks the same route with the dynamic layer slice
+    wL = QuantArray(q=jnp.asarray(q), s=jnp.asarray(s), group_size=g)
+    got1 = np.asarray(linear_layered(x, wL, jnp.int32(1)), dtype=np.float32)
+    w1 = QuantArray(q=jnp.asarray(q[1]), s=jnp.asarray(s[1]), group_size=g)
+    want1 = np.asarray(_quant_matmul_xla(x.astype(jnp.float32), w1))
+    rel1 = np.abs(got1 - want1).max() / (np.abs(want1).max() + 1e-9)
+    assert rel1 < 2e-2, rel1
+    # the route really is the dequant-dot path at this M
+    direct = np.asarray(_dequant_dot_xla(x, w0), dtype=np.float32)
+    np.testing.assert_allclose(got, direct, rtol=0, atol=0)

@@ -20,14 +20,23 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # tag -> bench.py argv. Mirrors BASELINE.md "configs to report" plus the
 # engine/long-context evidence the r2 verdict asked for.
 CONFIGS = {
-    # headline: single-chip Llama-2-7B INT8 decode (runs the selftest too)
+    # headline: single-chip Llama-2-7B INT8 decode (runs the selftest too;
+    # group=256 default — gated by checkpoints/tinychar_g256)
     "llama2-7b_int8_b1": ["--model", "llama2-7b"],
+    # the reference's EXPORT-FORMAT quantization (Q8_0 group=64), for
+    # format parity: tools/export.py emits this layout byte-for-byte
+    "llama2-7b_int8_g64_b1": ["--model", "llama2-7b", "--group", "64",
+                              "--no-selftest"],
     "llama2-7b_int8_b8": ["--model", "llama2-7b", "--batch", "8",
                           "--no-selftest"],
     "tinyllama_int8_b1": ["--model", "tinyllama-1.1b", "--no-selftest"],
     # the reference's headline config (fp32 TinyLlama on an RTX 3060)
     "tinyllama_fp_b1": ["--model", "tinyllama-1.1b", "--fp", "--no-selftest"],
     "llama3.2-1b_int8_b1": ["--model", "llama3.2-1b", "--no-selftest"],
+    # the fifth BASELINE config: Llama-3-8B INT8 single chip (8.3 GB of
+    # int8 weights + GQA cache fits the 16 GB chip; the N>=2-host part of
+    # the config is covered by SCALING_r05.json's 8B geometry projection)
+    "llama3-8b_int8_b1": ["--model", "llama3-8b", "--no-selftest"],
     "qwen2.5-0.5b_fp_b1": ["--model", "qwen2.5-0.5b", "--fp",
                            "--no-selftest"],
     # continuous batching (paged KV), machine-readable TTFT

@@ -1,18 +1,19 @@
 #!/usr/bin/env python
-"""Probe: s8 x s8 -> s32 MXU contraction inside a Pallas grid kernel vs the
-bf16-cast block-diagonal GEMV the r4 megakernel uses.
+"""Probe: in-kernel GEMV formulations at 7B tile shapes, TRUSTWORTHY timing.
 
-Question (VERDICT r4 next-round #1b): can the in-kernel group-dequant GEMV
-use true int8 MXU operands — quantizing the ACTIVATION row per group to
-int8 so the whole contraction is s8xs8 — deleting both the int8->bf16
-weight cast (~25 us/layer of VPU) and halving the MXU pass cost (int8 MXU
-runs at 2x bf16 throughput)? Scales (weight-group x activation-group)
-apply to the [ng, N] s32 partials in fp32, same as the bf16 path.
+Timing rule (memory: tpu-measurement-pitfalls + tools/roofline.py):
+block_until_ready lies through the axon tunnel — every measurement chains
+`reps` pallas_calls inside ONE jit fori_loop with a data dependence, ends
+with a host fetch, and reports the marginal time between two trip counts.
 
-Measured end-to-end over a many-layer grid (marginal per-kernel timing
-through the axon tunnel is garbage — memory: tpu-measurement-pitfalls):
-walltime of ONE pallas_call with grid (L, NT) streaming an [L, K, N] int8
-stack, reported as effective GB/s.
+Modes over an [L=32, K=4096, N=2048] int8 stack (one 7B-ish layer's qkv
+worth of tiles per layer; grid (L,)):
+  nodot     — full-tile read, trivial use (true DMA ceiling for 1 operand)
+  bf16      — blockdiag A bf16 built in-kernel, sub-chunk cast + dot (r4)
+  int8      — blockdiag A int8 quantized in-kernel, s8xs8->s32 dot
+  plain8    — padded [8, K] bf16 operand, sub-chunk dequant + generic dot
+  split4    — like bf16 but the tile arrives as 4 column sub-operands
+              (4 concurrent block DMAs per grid step)
 """
 
 import argparse
@@ -22,6 +23,7 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -30,72 +32,159 @@ def _iota2(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
 
 
-def _kernel(w_ref, s_ref, x_ref, o_ref, acc_ref, *, g, mode, nt):
-    t = pl.program_id(1)
+def _gemv_bf16(A, w_ref, s_ref, sub=1024):
+    K = w_ref.shape[1]
+    P = None
+    for i in range(K // sub):
+        wc = w_ref[0, i * sub:(i + 1) * sub, :].astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            A[:, i * sub:(i + 1) * sub], wc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        P = part if P is None else P + part
+    return jnp.sum(P * s_ref[0].astype(jnp.float32), axis=0, keepdims=True)
 
-    @pl.when((pl.program_id(0) == 0) & (t == 0))
+
+def _kernel(*refs, g, mode, nsplit):
+    w_refs = refs[:nsplit]
+    s_ref, x_ref, o_ref, acc_ref = refs[nsplit:]
+
+    @pl.when(pl.program_id(0) == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    K, N = w_ref.shape[1], w_ref.shape[2]
+    K = w_refs[0].shape[1]
     ng = K // g
-    x = x_ref[:]  # [1, K] bf16
-    mask = (_iota2((ng, K), 0) == _iota2((ng, K), 1) // g)
-    if mode == "bf16":
+    x = x_ref[:]
+    if mode == "nodot":
+        y = None
+        for r in w_refs:
+            t = r[0, :8, :].astype(jnp.float32)  # touch; full fetch happens
+            t2 = r[0, K - 8:, :].astype(jnp.float32)
+            yy = jnp.sum(t + t2, axis=0, keepdims=True)
+            y = yy if y is None else y + yy
+        acc_ref[:, :y.shape[1]] += y
+    elif mode in ("bf16", "split4"):
+        mask = (_iota2((ng, K), 0) == _iota2((ng, K), 1) // g)
         A = mask.astype(jnp.bfloat16) * jnp.concatenate([x] * ng, axis=0)
+        ys = []
+        TN0 = 0
+        for j, r in enumerate(w_refs):
+            TN = r.shape[2]
+            sj = s_ref[0, :, TN0:TN0 + TN]
+            P = None
+            sub = 1024
+            for i in range(K // sub):
+                wc = r[0, i * sub:(i + 1) * sub, :].astype(jnp.bfloat16)
+                part = jax.lax.dot_general(
+                    A[:, i * sub:(i + 1) * sub], wc,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                P = part if P is None else P + part
+            ys.append(jnp.sum(P * sj.astype(jnp.float32), axis=0,
+                              keepdims=True))
+            TN0 += TN
+        y = jnp.concatenate(ys, axis=1)
+        acc_ref[:] += y
+    elif mode in ("int8", "int8_split4"):
+        xf = x.astype(jnp.float32)
+        mask = (_iota2((ng, K), 0) == _iota2((ng, K), 1) // g)
+        Af = mask.astype(jnp.float32) * jnp.concatenate([xf] * ng, axis=0)
+        amax = jnp.max(jnp.abs(Af), axis=1, keepdims=True)
+        d = jnp.where(amax > 0, amax / 127.0, 1.0)
+        Aq = jnp.round(Af / d).astype(jnp.int8)
+        ys = []
+        TN0 = 0
+        for r in w_refs:
+            TN = r.shape[2]
+            Pi = jax.lax.dot_general(
+                Aq, r[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            P = Pi.astype(jnp.float32) * d
+            ys.append(jnp.sum(
+                P * s_ref[0, :, TN0:TN0 + TN].astype(jnp.float32),
+                axis=0, keepdims=True))
+            TN0 += TN
+        y = jnp.concatenate(ys, axis=1)
+        acc_ref[:] += y
+    elif mode == "plain8":
+        xb = jnp.concatenate([x] * 8, axis=0).astype(jnp.bfloat16)
         sub = 1024
         P = None
         for i in range(K // sub):
-            wc = w_ref[0, i * sub:(i + 1) * sub, :].astype(jnp.bfloat16)
+            qb = w_refs[0][0, i * sub:(i + 1) * sub, :].astype(jnp.bfloat16)
+            sb = s_ref[0][i * (sub // g):(i + 1) * (sub // g)
+                          ].astype(jnp.bfloat16)
+            wd = (qb.reshape(sub // g, g, qb.shape[1])
+                  * sb[:, None, :]).reshape(sub, qb.shape[1])
             part = jax.lax.dot_general(
-                A[:, i * sub:(i + 1) * sub], wc, (((1,), (0,)), ((), ())),
+                xb[:, i * sub:(i + 1) * sub], wd, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             P = part if P is None else P + part
-    else:  # int8 activations: per-group absmax quant of x
-        xf = x.astype(jnp.float32)
-        Af = mask.astype(jnp.float32) * jnp.concatenate([xf] * ng, axis=0)
-        amax = jnp.max(jnp.abs(Af), axis=1, keepdims=True)  # [ng, 1]
-        d = jnp.where(amax > 0, amax / 127.0, 1.0)
-        Aq = jnp.round(Af / d).astype(jnp.int8)
-        Pi = jax.lax.dot_general(
-            Aq, w_ref[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)  # [ng, N] exact
-        P = Pi.astype(jnp.float32) * d
-    y = jnp.sum(P * s_ref[0].astype(jnp.float32), axis=0, keepdims=True)
-    acc_ref[:] += y
+        acc_ref[:] += P[:1]
     o_ref[:] = acc_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("g", "mode", "nt"))
-def run(w, s, x, g, mode, nt):
+@functools.partial(jax.jit, static_argnames=("g", "mode", "nsplit", "reps"))
+def run(w, s, x, g, mode, nsplit, reps):
     L, K, N = w.shape
-    TN = N // nt
-    return pl.pallas_call(
-        functools.partial(_kernel, g=g, mode=mode, nt=nt),
-        grid=(L, nt),
-        in_specs=[
-            pl.BlockSpec((1, K, TN), lambda l, t: (l, 0, t)),
-            pl.BlockSpec((1, K // g, TN), lambda l, t: (l, 0, t)),
-            pl.BlockSpec((1, K), lambda l, t: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, TN), lambda l, t: (0, t)),
-        out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, TN), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=116 * 1024 * 1024,
-        ),
-    )(w, s, x)
+    TN = N // nsplit
+
+    def call(xi):
+        in_specs = [
+            pl.BlockSpec((1, K, TN), functools.partial(
+                lambda l, j=j: (l, 0, j))) for j in range(nsplit)
+        ] + [
+            pl.BlockSpec((1, K // g, N), lambda l: (l, 0, 0)),
+            pl.BlockSpec((1, K), lambda l: (0, 0)),
+        ]
+        return pl.pallas_call(
+            functools.partial(_kernel, g=g, mode=mode, nsplit=nsplit),
+            grid=(L,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, N), lambda l: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((1, N), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=116 * 1024 * 1024,
+            ),
+        )(*([w] * nsplit), s, xi)
+
+    def body(i, xi):
+        out = call(xi)
+        # data dependence: next iteration's x depends on this one's output
+        m = min(out.shape[1], xi.shape[1])
+        return xi.at[:, :m].set(
+            (xi[:, :m] + out[:, :m] * 1e-20).astype(xi.dtype))
+
+    return lax.fori_loop(0, reps, body, x)
+
+
+def measure(w, s, x, g, mode, nsplit, lo=4, hi=36, rounds=5):
+    f_lo = functools.partial(run, w, s, x, g, mode, nsplit, lo)
+    f_hi = functools.partial(run, w, s, x, g, mode, nsplit, hi)
+    _ = np.asarray(f_lo()).ravel()[0]
+    _ = np.asarray(f_hi()).ravel()[0]
+    ests = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        _ = np.asarray(f_lo()).ravel()[0]
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = np.asarray(f_hi()).ravel()[0]
+        t_hi = time.perf_counter() - t0
+        ests.append((t_hi - t_lo) / (hi - lo))
+    return float(np.median(ests))
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--L", type=int, default=96)
+    ap.add_argument("--L", type=int, default=64)
     ap.add_argument("--K", type=int, default=4096)
     ap.add_argument("--N", type=int, default=2048)
-    ap.add_argument("--nt", type=int, default=1)
     ap.add_argument("--g", type=int, default=64)
-    ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--modes",
+                    default="bf16,split4,int8,int8_split4,plain8")
     args = ap.parse_args()
     L, K, N, g = args.L, args.K, args.N, args.g
     rng = np.random.default_rng(0)
@@ -103,32 +192,14 @@ def main():
     s = jnp.asarray(rng.uniform(0.005, 0.02, (L, K // g, N)), jnp.float32)
     x = jnp.asarray(rng.standard_normal((1, K)), jnp.bfloat16)
     nbytes = w.size + s.size * 4
-    # fp32 oracle
-    wf = np.asarray(w, np.float32).reshape(L, K // g, g, N)
-    want = np.einsum("k,gkn->n",
-                     np.asarray(x, np.float32)[0].reshape(K // g, g)[0] * 0, wf[0, 0]) # placeholder
-    deq = (np.asarray(w[0], np.float32).reshape(K // g, g, N)
-           * np.asarray(s[0])[:, None, :]).reshape(K, N)
-    want_full = np.zeros((1, N), np.float32)
-    for l in range(L):
-        deq = (np.asarray(w[l], np.float32).reshape(K // g, g, N)
-               * np.asarray(s[l])[:, None, :]).reshape(K, N)
-        want_full += np.asarray(x, np.float32) @ deq
-    for mode in ("bf16", "int8"):
+    for mode in args.modes.split(","):
+        nsplit = 4 if mode.endswith("split4") else 1
         try:
-            out = run(w, s, x, g, mode, args.nt)
-            jax.block_until_ready(out)
-            t0 = time.perf_counter()
-            for _ in range(args.reps):
-                out = run(w, s, x, g, mode, args.nt)
-            jax.block_until_ready(out)
-            dt = (time.perf_counter() - t0) / args.reps
-            err = float(np.abs(np.asarray(out) - want_full).max()
-                        / np.abs(want_full).max())
-            print(f"{mode}: {dt*1e3:.3f} ms  {nbytes/dt/1e9:.1f} GB/s  "
-                  f"rel_err {err:.2e}")
+            dt = measure(w, s, x, g, mode, nsplit)
+            print(f"{mode:8s}: {dt*1e3:7.3f} ms/pass  {nbytes/dt/1e9:6.1f} "
+                  f"GB/s  ({dt/L*1e6:5.1f} us/tile)")
         except Exception as e:
-            print(f"{mode}: FAILED {type(e).__name__}: {str(e)[:300]}")
+            print(f"{mode:8s}: FAILED {type(e).__name__}: {str(e)[:200]}")
 
 
 if __name__ == "__main__":

@@ -134,6 +134,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default=None,
                     help="preset name; default = a tiny test config")
+    ap.add_argument("--proj-model", default=None,
+                    help="preset whose GEOMETRY drives the analytic "
+                         "projection while the virtual mesh measures the "
+                         "tiny model (default llama2-7b; e.g. llama3-8b "
+                         "for the fifth BASELINE config)")
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--json-out")
     ap.add_argument("--tpu", action="store_true",
@@ -149,9 +154,9 @@ def main():
     else:
         cfg = tiny_config("llama2", n_heads=8, n_kv_heads=8, dim=128,
                           hidden_dim=256, vocab_size=512, seq_len=64)
-        # analytic projection uses the 7B shape even when the measured mesh
-        # runs the tiny model (CPU memory)
-        proj_cfg = preset_config("llama2-7b")
+        # analytic projection uses the big-model shape even when the
+        # measured mesh runs the tiny model (CPU memory)
+        proj_cfg = preset_config(args.proj_model or "llama2-7b")
     params_np = random_params(cfg, seed=0)
 
     w7b = 0
@@ -198,7 +203,8 @@ def main():
         devices=str(jax.devices()[0].device_kind),
         n_devices=n_dev,
         measured_model=args.model or "tiny",
-        projection_model="llama2-7b int8",
+        projection_model=(args.model or args.proj_model or "llama2-7b")
+        + " int8",
         ici_GBps=ICI_GBPS, hbm_GBps=HBM_GBPS,
         hlo_collectives=dict(emitted=em, analytic=an, verified=bool(hlo_ok)),
         rows=rows,

@@ -31,13 +31,13 @@ CORPUS = os.path.join(os.path.dirname(__file__), "..", "tests", "data",
                       "tinycorpus.txt")
 
 
-def build_cfg(seq_len=128, family="llama2"):
+def build_cfg(seq_len=128, family="llama2", dim=128, hidden_dim=384):
     from kuiperllama_tpu.config import ModelConfig
 
     # qwen2 flips qkv_bias=True, eps=1e-6, theta=1e6, half-split RoPE via
     # the family preset — the full reference-parity axis (qwen2.cpp)
     return ModelConfig.from_header(
-        family=family, dim=128, hidden_dim=384, n_layers=4, n_heads=4,
+        family=family, dim=dim, hidden_dim=hidden_dim, n_layers=4, n_heads=4,
         n_kv_heads=2, vocab_size=128, seq_len=seq_len, tied_embedding=False,
     )
 
@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None,
                     help="default checkpoints/tinychar[_<family>]")
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--hidden-dim", type=int, default=384,
+                    help="dim/hidden must divide the quant group under "
+                         "test (the r5 group-256 gate uses 256/512)")
     ap.add_argument("--family", default="llama2",
                     choices=["llama2", "llama3", "qwen2"],
                     help="qwen2 exercises qkv biases end-to-end: train -> "
@@ -74,7 +78,8 @@ def main():
     from kuiperllama_tpu.models import decoder
     from kuiperllama_tpu.params import random_params
 
-    cfg = build_cfg(family=args.family)
+    cfg = build_cfg(family=args.family, dim=args.dim,
+                    hidden_dim=args.hidden_dim)
     text = open(CORPUS).read()
     ids = encode_bytes(text)
     split = int(len(ids) * 0.85)
