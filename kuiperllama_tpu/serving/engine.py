@@ -139,6 +139,11 @@ class Engine:
         # requests retired DURING a preemption (cache capacity exhausted —
         # nothing left to resume); drained into _collect's finished list
         self._preempt_retired: List[Request] = []
+        # host mirror of self.pos: every separate device->host fetch costs
+        # ~15-25 ms of tunnel latency, and the engine needed pos/done/toks
+        # after every chunk — they now come back in ONE fused fetch
+        # (_meta/_collect) and pos-at-admission is host-known (_activate)
+        self._pos_np = np.zeros((max_batch,), np.int64)
         self._init_cache()
 
     # ---- cache backend hooks (overridden by PagedEngine)
@@ -183,7 +188,7 @@ class Engine:
     def _run_chunk(self):
         from .generate import _bucket_len
 
-        pos_np = np.asarray(self.pos)
+        pos_np = self._pos_np
         live = max((int(pos_np[s]) for s in self.active), default=0)
         active = min(_bucket_len(live + self.chunk + 1), self.max_len)
         toks, self.token, self.pos, self.cache, self.done, self.rng = decode_chunk(
@@ -192,7 +197,14 @@ class Engine:
             temperature=self.temperature, top_k=self.top_k, top_p=self.top_p,
             active_len=active,
         )
-        return toks
+        return self._meta(toks)
+
+    def _meta(self, toks):
+        """[B, steps+2] device array: [tokens | pos | done] — one host
+        fetch per chunk instead of three."""
+        return jnp.concatenate(
+            [toks.astype(jnp.int32), self.pos[:, None].astype(jnp.int32),
+             self.done[:, None].astype(jnp.int32)], axis=1)
 
     def _retire_slot(self, slot: int):
         pass
@@ -237,8 +249,7 @@ class Engine:
         self._admit()
         if not self.active:
             return []
-        toks = self._run_chunk()
-        return self._collect(np.asarray(toks))
+        return self._collect(np.asarray(self._run_chunk()))
 
     def _free_slots(self) -> List[int]:
         return [s for s in range(self.max_batch) if s not in self.active]
@@ -309,6 +320,7 @@ class Engine:
         self.token = self.token.at[real].set(first[:Ba])
         self.pos = self.pos.at[real].set(jnp.asarray(lens[:Ba]))
         self.done = self.done.at[real].set(done[:Ba])
+        self._pos_np[slots[:Ba]] = lens[:Ba]  # host mirror
         for i, (slot, req) in enumerate(admits):
             if not req.first_token_time:  # preserve TTFT across preemptions
                 req.first_token_time = now
@@ -323,13 +335,15 @@ class Engine:
                 req.out_ids.append(first_id)
                 self._slot_budget[slot] = req.max_new_tokens - prior - 1
 
-    def _collect(self, toks: np.ndarray) -> List[Request]:
+    def _collect(self, meta: np.ndarray) -> List[Request]:
         finished = []
         if self._preempt_retired:
             finished.extend(self._preempt_retired)
             self._preempt_retired.clear()
-        done_np = np.asarray(self.done)
-        pos_np = np.asarray(self.pos)
+        toks = meta[:, :-2]
+        pos_np = meta[:, -2]
+        done_np = meta[:, -1].astype(bool)
+        self._pos_np = np.array(pos_np)
         for slot, req in list(self.active.items()):
             if req.finished:  # finished during admit
                 self._retire_slot(slot)
@@ -420,9 +434,6 @@ class PagedEngine(Engine):
             if seqpar:
                 from ..parallel.seqpar import SeqParPagedStep
 
-                assert prefill_chunk == 0, (
-                    "chunked prefill is not supported in seqpar mode "
-                    "(the history gather would need a pool all-gather)")
                 self._sharded = SeqParPagedStep(cfg, mesh, params)
                 p_local = n_pages // sp
                 reserved = tuple(s * p_local for s in range(sp))
@@ -465,8 +476,7 @@ class PagedEngine(Engine):
                     f"{self.allocator.n_free_pages} free pages of "
                     f"{self.page_size} tokens)")
             return []
-        toks = self._run_chunk()
-        return self._collect(np.asarray(toks))
+        return self._collect(np.asarray(self._run_chunk()))
 
     def _start_wave(self):
         admits = self._pop_admits()
@@ -652,7 +662,7 @@ class PagedEngine(Engine):
         # under pool pressure PREEMPT the youngest slot (free its pages,
         # re-queue the request for a resume-prefill) instead of crashing —
         # oldest slots keep decoding, preempted work is never lost
-        pos_np = np.asarray(self.pos)
+        pos_np = self._pos_np  # host mirror, no D2H fetch
         for slot in sorted(self.active, key=self._admit_order.__getitem__):
             if slot not in self.active:  # preempted by an earlier iteration
                 continue
@@ -667,7 +677,7 @@ class PagedEngine(Engine):
                 if victim == slot:
                     break
         if not self.active:
-            return np.zeros((self.max_batch, 0), np.int32)
+            return self._meta(jnp.zeros((self.max_batch, 0), jnp.int32))
         # non-active slots (mid-prefill admission waves) are masked out of
         # BOTH directions: their pages leave the work list (no wasted
         # attention DMA) and their page_table rows zero out so frozen rows'
@@ -688,10 +698,28 @@ class PagedEngine(Engine):
             extra["covered"] = jnp.asarray(cov)
         else:
             fb, fp, ft, n_items = build_work_list(pt, sl, self.page_size)
-        decode_fn = (self._sharded.decode_chunk if self._sharded is not None
-                     else decode_chunk_paged)
+        if self._sharded is None:
+            # single-device: ONE packed metadata upload per chunk — each
+            # separate host->device transfer costs ~15-25 ms of tunnel
+            # latency, which measured as the bulk of the engine's tax
+            # over raw batched decode (models/paged.pack_chunk_meta)
+            from ..models.paged import (decode_chunk_paged_packed,
+                                        pack_chunk_meta)
+
+            packed = pack_chunk_meta(pt, fb, fp, ft, n_items)
+            (toks, self.token, self.pos, self.k_pages, self.v_pages,
+             self.done, self.rng) = decode_chunk_paged_packed(
+                self.cfg, self.params, self.token, self.pos,
+                self.k_pages, self.v_pages, self.done, self.rng,
+                self._stop_arr, jnp.asarray(packed),
+                shapes=(pt.shape[0], pt.shape[1], len(fb)),
+                steps=steps, page_size=self.page_size,
+                temperature=self.temperature, top_k=self.top_k,
+                top_p=self.top_p,
+            )
+            return self._meta(toks)
         (toks, self.token, self.pos, self.k_pages, self.v_pages,
-         self.done, self.rng) = decode_fn(
+         self.done, self.rng) = self._sharded.decode_chunk(
             self.cfg, self.params, self.token, self.pos,
             self.k_pages, self.v_pages, self.done, self.rng, self._stop_arr,
             jnp.asarray(pt),
@@ -701,7 +729,7 @@ class PagedEngine(Engine):
             temperature=self.temperature, top_k=self.top_k, top_p=self.top_p,
             **extra,
         )
-        return toks
+        return self._meta(toks)
 
     def _preempt(self, slot: int):
         """Evict a slot under pool pressure: free its pages, freeze its row
