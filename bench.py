@@ -497,7 +497,11 @@ def _bench_engine(args, cfg, params):
         "backend": args.engine_backend,
         "hbm_estimate_gb": round(est / 1e9, 2),
     }
-    if eng.prefill_wall_s > 0 and eng.prefill_padded_tokens:
+    if (eng.prefill_wall_s > 0 and eng.prefill_padded_tokens
+            and args.arrival_rate == 0):
+        # MFU only for burst workloads: under staggered arrivals the
+        # admission sync waits behind whatever decode chunk is already in
+        # flight, so the prefill wall measures queueing, not the MXU
         # prefill MFU vs the measured MXU probe: FLOPs = 2 * weight params
         # * padded tokens computed (attention FLOPs ~1-2% at these prompt
         # lengths, ignored). Covers single-shot admit prefills only — in
