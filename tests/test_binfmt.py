@@ -273,3 +273,22 @@ def test_v3_bias_roundtrip_qwen2(tmp_path):
     # a biasless parse of the same file must fail the size check
     with pytest.raises(ModelParseError):
         load_bin(path, family="qwen2", quantized=True, qkv_bias=False)
+
+
+def test_v3_roundtrip_group256(tmp_path):
+    """v3 carries the group size in its header; a group-256 export (the r5
+    bench default — tools/export.py --group 256) round-trips and generates
+    identically to the in-memory quantization."""
+    cfg = tiny_config("llama2", dim=256, n_heads=4, n_kv_heads=2,
+                      hidden_dim=512, vocab_size=256, seq_len=64)
+    params = random_params(cfg, seed=3)
+    path = str(tmp_path / "m.q8g256.bin")
+    err = write_v3(path, cfg, params, group_size=256)
+    assert err < 0.02
+    cfg2, loaded = load_bin(path, family="llama2", quantized=True)
+    assert cfg2.group_size == 256
+    wq = loaded["blocks"]["wq"]
+    assert wq["group_size"] == 256
+    sg = np.repeat(wq["s"], 256, axis=1)
+    deq = wq["q"].astype(np.float32) * sg
+    np.testing.assert_allclose(deq, params["blocks"]["wq"], atol=0.02)
