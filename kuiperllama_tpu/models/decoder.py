@@ -36,6 +36,17 @@ from ..ops.rmsnorm import rmsnorm
 from ..ops.rope import apply_rope, gather_rope, rope_cache
 
 
+def _dus_write() -> bool:
+    """KT_DUS_WRITE sweep knob (process-start-only): write the B=1 decode
+    token's K/V via one dynamic_update_slice instead of the batched
+    scatter. Safe only because decode positions are always in range (the
+    drop-mode sentinel semantics matter only for admit prefills, which
+    never hit the B=1/T=1 shape)."""
+    import os
+
+    return os.environ.get("KT_DUS_WRITE", "0") == "1"
+
+
 def _layer_unroll() -> int:
     """Unroll factor for the layer scan (KT_UNROLL, process-start-only
     sweep knob like quant_matmul's KT_*): unrolling lets XLA's scheduler
@@ -139,10 +150,21 @@ def forward_inner(cfg: ModelConfig, params, tokens, positions, kv_cache,
         # mode="drop": sentinel positions (>= S) must NOT clip to the last
         # slot — in-place admit prefills pass them for rows whose cache is
         # live (see serving.engine._admit_prefill).
-        k_all = k_all.at[li, b_idx, positions].set(k.astype(k_all.dtype),
-                                                   mode="drop")
-        v_all = v_all.at[li, b_idx, positions].set(v.astype(v_all.dtype),
-                                                   mode="drop")
+        # B=1/T=1 decode (KT_DUS_WRITE sweep knob): a single
+        # dynamic_update_slice instead of the scatter — decode positions
+        # are always in range, so clamp-vs-drop semantics don't differ.
+        if _dus_write() and k.shape[0] == 1 and k.shape[1] == 1:
+            p0 = positions[0, 0]
+            idx = (li, 0, p0, 0, 0)
+            k_all = lax.dynamic_update_slice(
+                k_all, k.astype(k_all.dtype)[None], idx)
+            v_all = lax.dynamic_update_slice(
+                v_all, v.astype(v_all.dtype)[None], idx)
+        else:
+            k_all = k_all.at[li, b_idx, positions].set(
+                k.astype(k_all.dtype), mode="drop")
+            v_all = v_all.at[li, b_idx, positions].set(
+                v.astype(v_all.dtype), mode="drop")
         k_cache = lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
         v_cache = lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
 

@@ -36,6 +36,9 @@ a knob is set.
 | KT_BIG_STAGGER  | 1       | r5: tie with 0 (91.2 vs 91.4 — run noise)   |
 | KT_PREFILL_XLA_M| 256     | r5: longctx prefill MFU 25-30% -> 78.5%     |
 |                 |         | (BENCH_MATRIX_r05 engine_paged_longctx)     |
+| KT_DUS_WRITE    | 0       | r5: B=1 cache write via DUS REGRESSED the   |
+|                 |         | 7B headline (96.4 vs 98.7) — the batched    |
+|                 |         | scatter already lowers in place             |
 | quant group     | 256     | r5 bench default (--group): 92.4 -> 99.1    |
 |                 |         | tok/s at 7B; dppl gates at 128/256 pass     |
 |                 |         | (checkpoints/tinychar_g256/)                |
