@@ -108,10 +108,15 @@ def _rows(y, n: int):
     return jnp.concatenate([y] * n, axis=0) if n > 1 else y
 
 
-def _sub(K: int, N: int, budget: int = 6 * 1024 * 1024) -> int:
+_SUB_BUDGET = int(_os.environ.get("KT_SUB_BUDGET", str(6 * 1024 * 1024)))
+
+
+def _sub(K: int, N: int, budget: int = 0) -> int:
     """Reduction sub-chunk: largest 128-multiple divisor of K whose bf16
-    dequant transient (sub x N x 2 bytes) fits `budget`; K when nothing
-    divides (tiny test shapes take one chunk)."""
+    dequant transient (sub x N x 2 bytes) fits `budget` (default
+    KT_SUB_BUDGET, 6 MB); K when nothing divides (tiny test shapes take
+    one chunk)."""
+    budget = budget or _SUB_BUDGET
     best = None
     for c in range(128, K + 1, 128):
         if K % c:
@@ -400,7 +405,16 @@ def plan_tiles(blocks, cache_dtype=jnp.bfloat16, active_len: int = 1024):
     # tiny test geometries stay eligible there. Without this gate the
     # demo CLI crashed on TPU for a dim-64 fixture checkpoint.
     strict = not _interpret()
+    # KT_MIN_NT (process-start-only sweep knob): floor on the tile count.
+    # Smaller quant groups shrink the scale arrays enough that models can
+    # fit UNTILED (NT=1) — but a 44 MB per-iteration block double-buffered
+    # at the budget edge pipelines worse than two 26 MB ones (r5 A/B at
+    # TinyLlama group 256).
+    min_nt = int(_os.environ.get("KT_MIN_NT", "1"))
+    fallback = None
     for nt in (1, 2, 4, 8):
+        if nt < min_nt:
+            continue
         if hidden % nt:
             continue
         if (strict or nt > 1) and (hidden // nt) % 128:
@@ -408,9 +422,18 @@ def plan_tiles(blocks, cache_dtype=jnp.bfloat16, active_len: int = 1024):
         if quant and (hidden // nt) % w2.group_size:
             continue
         est = 2 * (attn + ffn // nt + 2 * slab)
-        if est <= budget:
+        if est > budget:
+            continue
+        # prefer the smallest NT with real double-buffer HEADROOM: an
+        # estimate at ~97% of budget compiles but pipelines noticeably
+        # worse than one more split (r5 A/B at TinyLlama group 256:
+        # NT=1/88 MB 529-537 tok/s vs NT=2/53 MB 542; NT=4 regresses to
+        # 458 — finer is not better either)
+        if est <= budget * 2 // 3:
             return nt
-    return None
+        if fallback is None:
+            fallback = nt
+    return fallback
 
 
 def fits_vmem(blocks, cache_dtype=jnp.bfloat16, active_len: int = 1024) -> bool:

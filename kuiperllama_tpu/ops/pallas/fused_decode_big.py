@@ -126,8 +126,7 @@ def plan_big(blocks, cache_dtype=jnp.bfloat16, active_len: int = 1024):
     if (hidden // ht) > 64:
         return None  # degenerate tiling; keep the layered path
     NQ, NO, NT = QCOLS // TQ, d // TR, hidden // ht
-    KV = (blocks["wo"].q.shape[-2] if False else None)  # doc: lanes below
-    kv_lane = d  # slab lane dim <= d; bound with d for the estimate
+    kv_lane = d  # slab lane dim KH*hd <= d; bound with d for the estimate
     slab = active_len * kv_lane * jnp.dtype(cache_dtype).itemsize
     est = 2 * (TQ * d + TQ * ngd * sdt        # qkv tile + scales
                + TR * d + (TR // g) * d * sdt  # wo tile + scales

@@ -637,7 +637,6 @@ class PagedEngine(Engine):
         return token, done
 
     def _run_chunk(self):
-        from ..models.paged import decode_chunk_paged
         from ..ops.pallas.paged_attention import build_work_list
 
         # shrink the decode chunk while an admission is pending: queued
