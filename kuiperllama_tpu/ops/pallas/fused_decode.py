@@ -428,8 +428,11 @@ def plan_tiles(blocks, cache_dtype=jnp.bfloat16, active_len: int = 1024):
         # estimate at ~97% of budget compiles but pipelines noticeably
         # worse than one more split (r5 A/B at TinyLlama group 256:
         # NT=1/88 MB 529-537 tok/s vs NT=2/53 MB 542; NT=4 regresses to
-        # 458 — finer is not better either)
-        if est <= budget * 2 // 3:
+        # 458 — finer is not better either; Qwen at 65% of budget also
+        # won from a split, 572 -> 580. The 0.63 threshold separates the
+        # measured winners: TinyLlama-q NT=2 (58.5 MB, keep) vs Qwen NT=1
+        # (61.5 MB, split))
+        if est <= budget * 63 // 100:
             return nt
         if fallback is None:
             fallback = nt
