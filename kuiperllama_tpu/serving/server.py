@@ -13,6 +13,9 @@ Endpoints:
                     "max_new_tokens": int=128}
       -> {"text": str?, "ids": [int], "ttft_ms": float, "tokens": int}
   GET  /healthz    -> {"ok": true, "active": n, "queued": n}
+  GET  /metrics    -> served-request counters + TTFT/latency percentiles
+                      over the last 512 completions (JSON; the serving
+                      counterpart of bench.py's one-line contract)
 
 Usage:
   python -m kuiperllama_tpu.serving.server --model m.q8.bin \
@@ -23,6 +26,7 @@ or in-process (tests):
 
 from __future__ import annotations
 
+import collections
 import json
 import queue
 import threading
@@ -49,6 +53,12 @@ class InferenceServer:
         self._poll = poll_idle_s
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        # serving metrics: lifetime counters + a sliding window of the
+        # last 512 completions for percentile stats
+        self.n_served = 0
+        self.n_tokens = 0
+        self.started_unix = time.time()
+        self._window = collections.deque(maxlen=512)
 
     # -- engine thread
 
@@ -69,6 +79,12 @@ class InferenceServer:
                 for fin in eng.step():
                     with self._lock:
                         ev = self._events.pop(fin.request_id, None)
+                        self.n_served += 1
+                        self.n_tokens += len(fin.out_ids)
+                        self._window.append(
+                            (fin.ttft_s,
+                             fin.finish_time - fin.submit_time,
+                             len(fin.out_ids)))
                     if ev is not None:
                         ev.set()
                 moved = True
@@ -109,6 +125,32 @@ class InferenceServer:
             out["text"] = self.tokenizer.decode(req.out_ids)
         return out
 
+    def metrics(self) -> dict:
+        eng = self.engine
+        with self._lock:
+            win = list(self._window)
+        out = dict(
+            uptime_s=round(time.time() - self.started_unix, 1),
+            served=self.n_served, tokens=self.n_tokens,
+            active=eng.n_active, queued=len(eng.queue),
+            preemptions=getattr(eng, "n_preemptions", 0),
+        )
+        if win:
+            def pct(vals, p):
+                v = sorted(vals)
+                return round(v[min(len(v) - 1, int(len(v) * p / 100))], 4)
+
+            ttfts = [w[0] for w in win]
+            walls = [w[1] for w in win]
+            toks = sum(w[2] for w in win)
+            out.update(
+                window=len(win),
+                ttft_s_p50=pct(ttfts, 50), ttft_s_p99=pct(ttfts, 99),
+                latency_s_p50=pct(walls, 50), latency_s_p99=pct(walls, 99),
+                window_tokens=toks,
+            )
+        return out
+
 
 def make_http_server(inference: InferenceServer, host: str = "127.0.0.1",
                      port: int = 8000) -> ThreadingHTTPServer:
@@ -129,6 +171,8 @@ def make_http_server(inference: InferenceServer, host: str = "127.0.0.1",
                 eng = inference.engine
                 self._json(200, {"ok": True, "active": eng.n_active,
                                  "queued": len(eng.queue)})
+            elif self.path == "/metrics":
+                self._json(200, inference.metrics())
             else:
                 self._json(404, {"error": "not found"})
 

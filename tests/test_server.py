@@ -83,3 +83,12 @@ def test_http_round_trip(served):
         assert hz["ok"] is True
     finally:
         httpd.shutdown()
+
+
+def test_metrics_endpoint(served):
+    cfg, params, srv = served
+    srv.submit(prompt_ids=[5, 2], max_new_tokens=4)
+    m = srv.metrics()
+    assert m["served"] >= 1 and m["tokens"] >= 1
+    assert "ttft_s_p50" in m and m["ttft_s_p50"] >= 0
+    assert m["latency_s_p99"] >= m["latency_s_p50"] >= 0
