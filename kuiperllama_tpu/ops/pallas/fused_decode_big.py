@@ -358,9 +358,10 @@ def _fused_step_big(x0, k_cache, v_cache, pos, sin_row, cos_row, params,
     has_bias = "bqkv" in blocks
     bqkv = (blocks["bqkv"] if has_bias
             else jnp.zeros((L, max(TQ, 128)), jnp.bfloat16))
-    bqkv = bqkv[:, None]  # [L, 1, W]: 3-D so the block's sublane dim is
-    # the full (size-1) axis — a 2-D (1, TQ) block violates Mosaic's
-    # 8-sublane block rule
+    if bqkv.ndim == 2:
+        # [L, 1, W]: 3-D so the block's sublane dim is the full (size-1)
+        # axis — a 2-D (1, TQ) block violates Mosaic's 8-sublane rule
+        bqkv = bqkv[:, None]
 
     NP = NQ + NO + NT
     # staggered next-layer prefetch points (index maps switch the idle

@@ -215,7 +215,10 @@ class Engine:
     # ---- public API
 
     def submit(self, req: Request):
-        req.submit_time = time.perf_counter()
+        # preserve an earlier stamp (the HTTP server stamps at enqueue so
+        # TTFT includes its queue wait); first submission stamps here
+        if not req.submit_time:
+            req.submit_time = time.perf_counter()
         self.queue.append(req)
 
     def submit_prompt(self, text: str, **kw) -> Request:

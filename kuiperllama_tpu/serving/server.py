@@ -112,6 +112,7 @@ class InferenceServer:
             prompt_ids = self.tokenizer.encode(prompt)
         req = Request(prompt_ids=list(int(i) for i in prompt_ids),
                       max_new_tokens=int(max_new_tokens))
+        req.submit_time = time.perf_counter()  # TTFT includes queue wait
         ev = threading.Event()
         self._q.put((req, ev))
         if not ev.wait(timeout_s):
